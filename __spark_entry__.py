@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` returns one callable per implemented operator (SURVEY.md §2 +
+the training-data pipeline ops); `oracle_sql()` returns the DuckDB-ANSI
+equivalent for every SQL-expressible one.  Column names/aliases match
+exactly between both sides.
+
+Conventions for cross-engine value-hash parity:
+- money/value sums  → `round(sum(x)*100) :: bigint` ("cents").
+- ratios            → `floor(x * 1e6) :: bigint` ("micro-units").
+- cosine            → `round(x, 6)` on float64 accumulation.
+- hashes            → md5 hex strings (identical in both engines).
+- timestamps        → session timeZone pinned to UTC inside the callables.
 """
 
 from __future__ import annotations
@@ -12,27 +18,544 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from joern_spark.pipeline import dedup, multimodal, similarity, text, windows
+from joern_spark.session import load_table
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# Relational operators (joins, aggregations, semi/anti, top-k)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity") * 100).cast("long").alias("sum_qty_c"),
+            F.round(F.sum("l_extendedprice") * 100).cast("long").alias("sum_base_price_c"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+            .cast("long")
+            .alias("sum_disc_price_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+            .cast("long")
+            .alias("revenue_c")
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue_c", "o_orderpriority")
+    )
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+            .cast("long")
+            .alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def part_types_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+def region_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal") * 100).cast("long").alias("acctbal_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowing (batch forms of the streaming ops)
+# ---------------------------------------------------------------------------
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.session_stats(load_table(spark, sf_dir, "events"))
+
+
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.top_users_by_window(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis + dedup + similarity
+# ---------------------------------------------------------------------------
+
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(load_table(spark, sf_dir, "documents"))
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.minhash_signature(load_table(spark, sf_dir, "documents"))
+    # flatten for stable oracle comparison: (doc_id, seed, minhash value)
+    return sig.select(
+        "doc_id", F.posexplode("minhash").alias("seed", "mh")
+    )
+
+
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.minhash_signature(load_table(spark, sf_dir, "documents"))
+    return dedup.lsh_candidate_pairs(sig)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signature(docs))
+    j = dedup.ngram_jaccard(docs, pairs)
+    return j.select(
+        "doc_a", "doc_b", F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_micro")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    return similarity.cosine_topk(emb, queries_df, k=5)
+
+
+def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine pairs over a deterministic 1-in-10 sample,
+    thresholded — the exactness baseline for embedding near-dup."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate("ea", F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate("eb", F.lit(0.0), lambda acc, v: acc + v * v))
+    return pairs.select(
+        "vec_a", "vec_b", F.round(dot / (na * nb), 6).alias("cosine")
+    ).where(F.col("cosine") >= 0.5)
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    return similarity.ann_topk_lsh(emb, queries_df, k=5)
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing demo: deterministic synthetic blobs →
+    mapInPandas feature extraction (decode stubbed; Spark side real)."""
+    media = multimodal.synthetic_media(spark, 64)
+    feats = multimodal.extract_image_features(media)
+    return feats.select("media_id", "media_type", "n_bytes", "sha1", "width", "height")
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full training-pipeline pass over sf0.001 documents —
+    quality + language + fingerprint + exact-dup annotation in one plan.
+    (Upgraded to the CPG flow pipeline as the engine spine lands.)"""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(docs)
+    l = text.lang_id(docs).select("doc_id", "pred_lang")
+    fp = text.fingerprint(docs)
+    dups = dedup.exact_dedup(docs).select(
+        F.col("content_hash").alias("ch"), "survivor_doc_id", "n_dups"
+    )
+    return (
+        q.join(l, "doc_id")
+        .join(fp, "doc_id")
+        .join(dups, fp.content_hash == F.col("ch"))
+        .select(
+            "doc_id", "n_tokens", "quality_micro", "pred_lang",
+            "content_hash", "survivor_doc_id", "n_dups",
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "customers_without_orders": customers_without_orders,
+        "part_types_with_sales": part_types_with_sales,
+        "region_customer_counts": region_customer_counts,
+        "events_tumbling": events_tumbling,
+        "events_sliding": events_sliding,
+        "events_sessions": events_sessions,
+        "events_top_users": events_top_users,
+        "doc_token_counts": doc_token_counts,
+        "doc_lang_id": doc_lang_id,
+        "doc_quality": doc_quality,
+        "doc_fingerprints": doc_fingerprints,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_signatures": dedup_minhash_signatures,
+        "dedup_lsh_pairs": dedup_lsh_pairs,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_simhash": dedup_simhash,
+        "sim_cosine_topk": sim_cosine_topk,
+        "sim_near_dup_pairs": sim_near_dup_pairs,
+        "sim_ann_lsh": sim_ann_lsh,
+        "media_features": media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB oracle SQL.  Tables are pre-registered views.  String functions and
+# arithmetic chosen to match Spark's semantics exactly (verified by
+# tests/test_oracle_parity.py which replicates the driver's compare).
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_MINHASH_CTE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len({_TOKS}) >= 3 THEN
+           list_transform(range(1, len({_TOKS}) - 1),
+             i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])
+         ELSE [substr(trim(text), 1, 1000)] END AS shingles
+  FROM documents
+),
+mh AS (
+  SELECT doc_id, seed,
+         min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+  FROM sh, unnest(shingles) AS u(s), range(0, 16) AS r(seed)
+  GROUP BY doc_id, seed
+)
+"""
+
+_BANDS_CTE = _MINHASH_CTE + """
+, sig AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band_idx,
+         md5(sig[b.band_idx*4 + 1] || '|' || sig[b.band_idx*4 + 2] || '|' ||
+             sig[b.band_idx*4 + 3] || '|' || sig[b.band_idx*4 + 4]) AS band_hash
+  FROM sig, range(0, 4) AS b(band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands a JOIN bands b2
+    ON a.band_idx = b2.band_idx AND a.band_hash = b2.band_hash
+   AND a.doc_id < b2.doc_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity)*100) AS BIGINT) AS sum_qty_c,
+                   CAST(round(sum(l_extendedprice)*100) AS BIGINT) AS sum_base_price_c,
+                   CAST(round(sum(l_extendedprice*(1-l_discount))*100) AS BIGINT) AS sum_disc_price_c,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey,
+                   CAST(round(sum(l_extendedprice*(1-l_discount))*100) AS BIGINT) AS revenue_c,
+                   o_orderpriority
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_c DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT r_name, n_name,
+                   CAST(round(sum(l_extendedprice*(1-l_discount))*100) AS BIGINT) AS revenue_c,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "part_types_with_sales": """
+            SELECT p_type, count(*) AS n_parts FROM part p
+            WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+            GROUP BY p_type
+        """,
+        "region_customer_counts": """
+            SELECT r_name, count(*) AS n_customers,
+                   CAST(round(sum(c_acctbal)*100) AS BIGINT) AS acctbal_c
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "events_tumbling": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(round(sum(value)*100) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            SELECT time_bucket(INTERVAL '15 minutes', ts)
+                     - k.k * INTERVAL '15 minutes' AS window_start,
+                   count(*) AS n_events
+            FROM events, range(0, 4) AS k(k)
+            GROUP BY 1
+        """,
+        "events_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts > coalesce(
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           + INTERVAL '30 minutes',
+                         TIMESTAMP '1900-01-01 00:00:00')
+                       THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ),
+            sid AS (
+              SELECT *, CAST(sum(new_session) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start,
+                   max(ts) AS last_event_ts,
+                   count(*) AS n_events,
+                   CAST(round(sum(value)*100) AS BIGINT) AS value_cents
+            FROM sid GROUP BY user_id, session_seq
+        """,
+        "events_top_users": """
+            WITH per AS (
+              SELECT date_trunc('day', ts) AS window_start, user_id,
+                     CAST(round(sum(value)*100) AS BIGINT) AS value_cents
+              FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                        PARTITION BY window_start
+                        ORDER BY value_cents DESC, user_id ASC) AS rank
+              FROM per
+            )
+            SELECT window_start, user_id, value_cents, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "doc_token_counts": f"""
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   length(text) AS n_chars_text,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+            FROM documents
+        """,
+        "doc_lang_id": f"""
+            WITH t AS (
+              SELECT doc_id,
+                len(list_intersect({_TOKS}, ['the','a','of','and','to','in','is','it'])) AS en_hits,
+                len(list_intersect({_TOKS}, ['el','la','de','que','y','en','un','es'])) AS es_hits,
+                len(list_intersect({_TOKS}, ['der','die','das','und','zu','ist','ein','nicht'])) AS de_hits
+              FROM documents
+            )
+            SELECT doc_id, en_hits, es_hits, de_hits,
+                   CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                        WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                        WHEN de_hits > 0 THEN 'de'
+                        ELSE 'unknown' END AS pred_lang
+            FROM t
+        """,
+        "doc_quality": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len({_TOKS}) AS n_tokens,
+                     length(text) AS n_chars_text,
+                     len(list_filter({_TOKS},
+                        x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS stop_hits
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, n_chars_text,
+                   CAST(floor((n_chars_text - (n_tokens - 1)) / n_tokens * 1e6) AS BIGINT) AS mean_token_len_micro,
+                   CAST(floor(stop_hits / n_tokens * 1e6) AS BIGINT) AS stopword_ratio_micro,
+                   CAST(floor(CASE WHEN n_tokens < 5 THEN 0.0
+                        ELSE least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / n_tokens)
+                        END * 1e6) AS BIGINT) AS quality_micro
+            FROM t
+        """,
+        "doc_fingerprints": f"""
+            SELECT doc_id, md5(text) AS content_hash,
+                   md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS bow_fingerprint
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS survivor_doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash_signatures": _MINHASH_CTE + """
+            SELECT doc_id, CAST(seed AS INT) AS seed, mh FROM mh
+        """,
+        "dedup_lsh_pairs": _BANDS_CTE + """
+            SELECT doc_a, doc_b FROM cand
+        """,
+        "dedup_ngram_jaccard": _BANDS_CTE + f"""
+            , shd AS (
+              SELECT doc_id,
+                CASE WHEN len({_TOKS}) >= 3 THEN
+                  list_distinct(list_transform(range(1, len({_TOKS}) - 1),
+                    i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))
+                ELSE [substr(trim(text), 1, 1000)] END AS sh
+              FROM documents
+            )
+            SELECT c.doc_a, c.doc_b,
+                   CAST(floor(
+                     len(list_intersect(a.sh, b.sh))
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                     * 1e6) AS BIGINT) AS jaccard_micro
+            FROM cand c
+            JOIN shd a ON a.doc_id = c.doc_a
+            JOIN shd b ON b.doc_id = c.doc_b
+        """,
+        "dedup_simhash": f"""
+            WITH tok AS (
+              SELECT doc_id, md5(t) AS h, count(*) AS cnt
+              FROM documents, unnest({_TOKS}) AS u(t)
+              GROUP BY doc_id, md5(t)
+            ),
+            votes AS (
+              SELECT doc_id, b.bt,
+                     sum(CASE WHEN CAST(FLOOR(
+                       (strpos('0123456789abcdef', substr(h, CAST(FLOOR(b.bt/4) AS INT)+1, 1)) - 1)
+                       / CAST(POW(2, 3 - b.bt % 4) AS INT)) AS INT) % 2 = 1
+                       THEN cnt ELSE -cnt END) AS v
+              FROM tok, range(0, 64) AS b(bt)
+              GROUP BY doc_id, b.bt
+            )
+            SELECT doc_id,
+                   string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY bt) AS simhash_bits
+            FROM votes GROUP BY doc_id
+        """,
+        "sim_cosine_topk": """
+            WITH pairs AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                     round(
+                       list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+                       6) AS cosine
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id < 8 AND q.vec_id != c.vec_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                        PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+              FROM pairs
+            )
+            SELECT query_id, rank, nbr_id, cosine FROM ranked WHERE rank <= 5
+        """,
+        "sim_near_dup_pairs": """
+            SELECT * FROM (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     round(
+                       list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                       6) AS cosine
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0 AND a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.5
+        """,
+        # sim_ann_lsh, media_features: non-SQL-expressible here (LSH plane
+        # arithmetic / binary decode stubs) → rows-only check.
+    }

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced end-to-end with the `noop` sink (full computation, no
+driver collect).  Use SPARK_GRAFT_BENCH_QUERIES=a,b,c to subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from joern_spark.session import get_spark  # noqa: E402
+
+DEFAULT_BENCH = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "events_tumbling",
+    "events_sliding",
+    "events_sessions",
+    "events_top_users",
+    "doc_token_counts",
+    "doc_quality",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "cpg_build_flows",  # flagship (present once the CPG spine lands)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    wanted = names.split(",") if names else DEFAULT_BENCH
+
+    spark = get_spark(app_name="joern-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    for name in wanted:
+        if name not in qmap:
+            continue
+        t0 = time.perf_counter()
+        df = qmap[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
