@@ -1,0 +1,1576 @@
+"""JS AST → CPG lowering (the jssrc2cpg-equivalent frontend).
+
+Fresh Python implementation of the reference's lowering conventions
+(jssrc2cpg astcreation/*.scala — file:line cites inline): `:program`
+module method with a `this` parameter, every operation a CALL node with a
+canonical `<operator>.*` name, ECMAScript call shape (receiver/base/args
+with argument indices -1/0/1..n), object/array literal tmp-lowering,
+destructuring lowering, for-in/of iterator desugaring, closure method refs
+with capture tracking.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from joern_spark.cpg.core import Ast, Cpg, Node
+from joern_spark.frontends.js.builtins import ARRAY_FACTORY, GLOBAL_BUILTINS
+from joern_spark.frontends.js.jsparser import parse
+
+ANY = "ANY"
+STATIC = "STATIC_DISPATCH"
+DYNAMIC = "DYNAMIC_DISPATCH"
+DYNAMIC_UNKNOWN_FULL_NAME = "<unknownFullName>"
+MAX_CODE_LENGTH = 1000
+
+OPERATORS = {
+    "=": "<operator>.assignment",
+    "+=": "<operator>.assignmentPlus",
+    "-=": "<operator>.assignmentMinus",
+    "*=": "<operator>.assignmentMultiplication",
+    "/=": "<operator>.assignmentDivision",
+    "%=": "<operator>.assignmentModulo",
+    "**=": "<operator>.assignmentExponentiation",
+    "&=": "<operator>.assignmentAnd",
+    "&&=": "<operator>.assignmentAnd",
+    "|=": "<operator>.assignmentOr",
+    "||=": "<operator>.assignmentOr",
+    "^=": "<operator>.assignmentXor",
+    "<<=": "<operator>.assignmentShiftLeft",
+    ">>=": "<operator>.assignmentArithmeticShiftRight",
+    ">>>=": "<operator>.assignmentLogicalShiftRight",
+    "??=": "<operator>.notNullAssert",
+}
+
+BINARY_OPERATORS = {
+    "+": "<operator>.addition",
+    "-": "<operator>.subtraction",
+    "/": "<operator>.division",
+    "%": "<operator>.modulo",
+    "*": "<operator>.multiplication",
+    "**": "<operator>.exponentiation",
+    "&": "<operator>.and",
+    ">>": "<operator>.arithmeticShiftRight",
+    ">>>": "<operator>.arithmeticShiftRight",
+    "<<": "<operator>.shiftLeft",
+    "^": "<operator>.xor",
+    "==": "<operator>.equals",
+    "===": "<operator>.equals",
+    "!=": "<operator>.notEquals",
+    "!==": "<operator>.notEquals",
+    "in": "<operator>.in",
+    ">": "<operator>.greaterThan",
+    "<": "<operator>.lessThan",
+    ">=": "<operator>.greaterEqualsThan",
+    "<=": "<operator>.lessEqualsThan",
+    "instanceof": "<operator>.instanceOf",
+    "||": "<operator>.logicalOr",
+    "|": "<operator>.or",
+    "&&": "<operator>.logicalAnd",
+    "??": "<operator>.logicalOr",
+}
+
+UNARY_OPERATORS = {
+    "void": "<operator>.void",
+    "delete": "<operator>.delete",
+    "!": "<operator>.logicalNot",
+    "+": "<operator>.plus",
+    "-": "<operator>.minus",
+    "~": "<operator>.bitNot",
+    "typeof": "<operator>.instanceOf",
+}
+
+
+class Scope:
+    def __init__(self, kind: str, method: Optional[Node] = None):
+        self.kind = kind  # "method" | "block"
+        self.method = method  # owning METHOD node for method scopes
+        self.variables: dict[str, Node] = {}
+        # pending references: (name, identifier_node, crossed_methods)
+        self.pending: list[tuple[str, Node, list[Node]]] = []
+
+
+class ScopeManager:
+    """Simplified VariableScopeManager (x2cpg datastructures): tracks
+    declarations, resolves identifier references to them (REF edges), and
+    records closure captures when a reference crosses a method boundary."""
+
+    def __init__(self, cpg: Cpg):
+        self.cpg = cpg
+        self.stack: list[Scope] = []
+
+    def push_method(self, method: Node):
+        self.stack.append(Scope("method", method))
+
+    def push_block(self):
+        self.stack.append(Scope("block"))
+
+    def add_variable(self, name: str, node: Node):
+        self.stack[-1].variables[name] = node
+
+    def add_reference(self, name: str, ident: Node):
+        self.stack[-1].pending.append((name, ident, []))
+
+    def pop(self):
+        scope = self.stack.pop()
+        unresolved = []
+        for name, ident, crossed in scope.pending:
+            decl = scope.variables.get(name)
+            if decl is not None:
+                self.cpg.add_edge(ident, decl, "REF")
+                for m in crossed:
+                    self.cpg.captures.append((decl, m))
+            else:
+                if scope.kind == "method" and scope.method is not None:
+                    crossed = crossed + [scope.method]
+                unresolved.append((name, ident, crossed))
+        if self.stack:
+            self.stack[-1].pending.extend(unresolved)
+
+
+class AstLowerer:
+    """One instance per document (mirrors jssrc2cpg AstCreator)."""
+
+    def __init__(self, src: str, filename: str = "script.js"):
+        self.src = src
+        self.filename = filename
+        self.cpg = Cpg(filename)
+        self.scope = ScopeManager(self.cpg)
+        self.method_parent_stack: list[Node] = []
+        self.local_parent_stack: list[Node] = []
+        self.used_variable_names: dict[str, int] = {}
+        self.function_full_names: set[str] = set()
+        self.function_key_to_name: dict[str, tuple[str, str]] = {}
+        self.closure_counter = 0
+        self.scope_name_stack: list[str] = []
+        # line index
+        self.line_starts = [0]
+        for i, ch in enumerate(src):
+            if ch == "\n":
+                self.line_starts.append(i + 1)
+
+    # --- positions / code -----------------------------------------------------
+    def line_of(self, offset: int) -> int:
+        lo, hi = 0, len(self.line_starts) - 1
+        while lo < hi:
+            mid = (lo + hi + 1) >> 1
+            if self.line_starts[mid] <= offset:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo + 1
+
+    def col_of(self, offset: int) -> int:
+        return offset - self.line_starts[self.line_of(offset) - 1]
+
+    def code_of_node(self, js) -> str:
+        s = max(js["start"], 0)
+        e = min(js["end"], len(self.src))
+        return _shorten(self.src[s:e].strip())
+
+    # --- node factories ---------------------------------------------------------
+    def _pos(self, js) -> dict:
+        return {
+            "line": self.line_of(js["start"]),
+            "column": self.col_of(js["start"]),
+            "start": js["start"],
+            "end": js["end"],
+        }
+
+    def call_node(self, js, code: str, name: str, dispatch: str) -> Node:
+        full = name if dispatch == STATIC else DYNAMIC_UNKNOWN_FULL_NAME
+        return Node("CALL", code=code, name=name, method_full_name=full,
+                    dispatch_type=dispatch, type_full_name=ANY, **self._pos(js))
+
+    def call_node_at(self, code, name, dispatch, line, column) -> Node:
+        full = name if dispatch == STATIC else DYNAMIC_UNKNOWN_FULL_NAME
+        return Node("CALL", code=code, name=name, method_full_name=full,
+                    dispatch_type=dispatch, type_full_name=ANY, line=line, column=column)
+
+    def identifier_node(self, js, name: str) -> Node:
+        return Node("IDENTIFIER", name=name, code=name, type_full_name=ANY, **self._pos(js))
+
+    def literal_node(self, js, code: str, type_full_name: str = ANY) -> Node:
+        return Node("LITERAL", code=code, type_full_name=type_full_name, **self._pos(js))
+
+    def field_identifier_node(self, js, name: str) -> Node:
+        return Node("FIELD_IDENTIFIER", canonical_name=name, code=name, **self._pos(js))
+
+    def block_node(self, js, code: str = "<empty>") -> Node:
+        return Node("BLOCK", code=code, type_full_name=ANY, **self._pos(js))
+
+    def local_node(self, js, name: str) -> Node:
+        return Node("LOCAL", name=name, code=name, type_full_name=ANY, order=0, **self._pos(js))
+
+    def unused_name(self, prefix: str) -> str:
+        counter = self.used_variable_names.get(prefix, -1) + 1
+        self.used_variable_names[prefix] = counter
+        return f"{prefix}_{counter}"
+
+    # --- callAst (CallAstBuilder.callAst semantics) -----------------------------
+    def call_ast(self, call: Node, arguments: list[Ast], base: Optional[Ast] = None,
+                 receiver: Optional[Ast] = None) -> Ast:
+        for i, a in enumerate(arguments):
+            if a.root is not None and a.root.is_expression:
+                a.root.argument_index = i + 1
+        base_root = base.root if base is not None else None
+        if base_root is not None and base_root.is_expression:
+            base_root.argument_index = 0
+        if receiver is None and base is not None:
+            receiver_roots = [base_root] if base_root is not None else []
+        else:
+            receiver_roots = []
+            if receiver is not None and receiver.root is not None:
+                if receiver.root.is_expression:
+                    receiver.root.argument_index = -1
+                receiver_roots = [receiver.root]
+        ast = Ast(call)
+        if receiver is not None:
+            ast.with_child(receiver)
+        if base is not None:
+            ast.with_child(base)
+        ast.with_children(arguments)
+        if base_root is not None:
+            ast.with_typed_edge("argument", call, base_root)
+        ast.with_arg_edges(call, [a.root for a in arguments if a.root is not None])
+        for r in receiver_roots:
+            ast.with_typed_edge("receiver", call, r)
+        return ast
+
+    # --- composite call builders (AstNodeBuilder.scala) --------------------------
+    def assignment_call(self, dest: Ast, source: Ast, code: str, line, column) -> Ast:
+        call = self.call_node_at(code, "<operator>.assignment", STATIC, line, column)
+        return self.call_ast(call, [dest, source])
+
+    def field_access_call(self, base: Ast, part: Node, line, column) -> Ast:
+        code = f"{_code_of(base.root)}.{part.code}"
+        call = self.call_node_at(code, "<operator>.fieldAccess", STATIC, line, column)
+        return self.call_ast(call, [base, Ast(part)])
+
+    def index_access_call(self, base: Ast, part: Ast, line, column) -> Ast:
+        code = f"{_code_of(base.root)}[{_code_of(part.root)}]"
+        call = self.call_node_at(code, "<operator>.indexAccess", STATIC, line, column)
+        return self.call_ast(call, [base, part])
+
+    def ternary_call(self, test: Ast, true_ast: Ast, false_ast: Ast, line, column) -> Ast:
+        code = f"{_code_of(test.root)} ? {_code_of(true_ast.root)} : {_code_of(false_ast.root)}"
+        call = self.call_node_at(code, "<operator>.conditional", STATIC, line, column)
+        return self.call_ast(call, [test, true_ast, false_ast])
+
+    def equals_call(self, dest: Ast, source: Ast, line, column) -> Ast:
+        code = f"{_code_of(dest.root)} === {_code_of(source.root)}"
+        call = self.call_node_at(code, "<operator>.equals", STATIC, line, column)
+        return self.call_ast(call, [dest, source])
+
+    def void_call(self, line, column) -> Node:
+        return self.call_node_at("void 0", "<operator>.void", STATIC, line, column)
+
+    # --- entry -------------------------------------------------------------------
+    def create(self) -> Cpg:
+        program = parse(self.src)
+        file_node = Node("FILE", name=self.filename, code="<empty>", order=0)
+        ns = Node("NAMESPACE_BLOCK", name="<global>",
+                  full_name=f"{self.filename}:<global>", filename=self.filename, order=1)
+        self.method_parent_stack.append(ns)
+        prog_ast = self._program_method(program)
+        ast = Ast(file_node).with_child(Ast(ns).with_child(prog_ast))
+        ast.store(self.cpg)
+        while self.scope.stack:
+            self.scope.pop()
+        self._add_contains_edges()
+        self._link_parameter_outs()
+        return self.cpg
+
+    def _program_method(self, program) -> Ast:
+        name = ":program"
+        full_name = f"{self.filename}:{name}"
+        method = Node("METHOD", name=name, full_name=full_name, code=name,
+                      filename=self.filename, order=1,
+                      line=self.line_of(program["start"]), column=self.col_of(program["start"]))
+        type_decl = Node("TYPE_DECL", name=name, full_name=full_name,
+                         filename=self.filename, code=name)
+        binding = Node("BINDING", name="", code="<empty>")
+        td_ast = Ast(type_decl)
+        td_ast.with_typed_edge("binds", type_decl, binding)
+        td_ast.nodes.append(binding)
+        td_ast.with_typed_edge("ref", binding, method)
+
+        self.method_parent_stack.append(method)
+        block = self.block_node(program)
+        self.scope.push_method(method)
+        self.scope_name_stack.append(name)
+        self.local_parent_stack.append(block)
+
+        this_param = Node("METHOD_PARAMETER_IN", name="this", code="this", index=0,
+                          order=0, evaluation_strategy="BY_VALUE", type_full_name=ANY,
+                          line=method.line, column=method.column)
+        self.scope.add_variable("this", this_param)
+
+        children = self.block_statement_asts(program["body"])
+
+        self.local_parent_stack.pop()
+        self.scope_name_stack.pop()
+        self.scope.pop()
+        self.method_parent_stack.pop()
+
+        ret = Node("METHOD_RETURN", code="RET", type_full_name=ANY,
+                   line=method.line, column=method.column)
+        modifier = Node("MODIFIER", modifier_type="MODULE", code="<empty>")
+        m_ast = (
+            Ast(method)
+            .with_child(Ast(this_param))
+            .with_child(Ast(block).with_children(children))
+            .with_child(Ast(modifier))
+            .with_child(Ast(ret))
+        )
+        return td_ast.with_child(m_ast)
+
+    # --- statements ---------------------------------------------------------------
+    def block_statement_asts(self, stmts: list) -> list[Ast]:
+        ordered = sorted(
+            stmts,
+            key=lambda s: 0 if s["type"] == "ImportDeclaration"
+            else 1 if s["type"] == "FunctionDeclaration" else 2,
+        )
+        return [self.ast_for_node_with_fref_and_call(s) for s in ordered]
+
+    def ast_for_node_with_fref_and_call(self, js) -> Ast:
+        if js["type"] in ("FunctionDeclaration",):
+            return self.ast_for_function(js, create_reference=True, create_assignment=True)
+        return self.ast_for_node(js)
+
+    def ast_for_node_with_fref(self, js) -> Ast:
+        if js["type"] in ("FunctionDeclaration", "FunctionExpression", "ArrowFunctionExpression"):
+            return self.ast_for_function(js, create_reference=True)
+        return self.ast_for_node(js)
+
+    def ast_for_node(self, js) -> Ast:  # noqa: C901 (dispatch table)
+        t = js["type"]
+        fn = getattr(self, f"_ast_{_snake(t)}", None)
+        if fn is None:
+            return Ast(Node("UNKNOWN", code=self.code_of_node(js),
+                            parser_type_name=t, **self._pos(js)))
+        return fn(js)
+
+    # statements
+    def _ast_expression_statement(self, js) -> Ast:
+        return self.ast_for_node_with_fref(js["expression"])
+
+    def _ast_empty_statement(self, js) -> Ast:
+        return Ast(self.block_node(js))
+
+    def _ast_block_statement(self, js) -> Ast:
+        block = self.block_node(js, self.code_of_node(js))
+        self.scope.push_block()
+        self.local_parent_stack.append(block)
+        children = self.block_statement_asts(js["body"])
+        self.local_parent_stack.pop()
+        self.scope.pop()
+        return Ast(block).with_children(children)
+
+    def _ast_return_statement(self, js) -> Ast:
+        code = self.code_of_node(js).rstrip(";")
+        ret = Node("RETURN", code=code, **self._pos(js))
+        if js.get("argument") is not None:
+            arg = self.ast_for_node_with_fref(js["argument"])
+            if arg.root is not None and arg.root.is_expression:
+                arg.root.argument_index = 1
+            return Ast(ret).with_child(arg).with_arg_edges(ret, [arg.root])
+        return Ast(ret)
+
+    def _ast_if_statement(self, js) -> Ast:
+        cond = self.ast_for_node_with_fref(js["test"])
+        then = self.ast_for_node_with_fref(js["consequent"])
+        els = self.ast_for_node_with_fref(js["alternate"]) if js.get("alternate") else None
+        node = Node("CONTROL_STRUCTURE", control_structure_type="IF",
+                    parser_type_name="IfStatement", code=self.code_of_node(js), **self._pos(js))
+        ast = Ast(node).with_child(cond).with_child(then)
+        if els is not None:
+            ast.with_child(els)
+        ast.with_typed_edge("condition", node, cond.root)
+        if then.root is not None:
+            ast.with_typed_edge("true_body", node, then.root)
+        if els is not None and els.root is not None:
+            ast.with_typed_edge("false_body", node, els.root)
+        return ast
+
+    def _ast_while_statement(self, js) -> Ast:
+        cond = self.ast_for_node_with_fref(js["test"])
+        body = self.ast_for_node_with_fref(js["body"])
+        return self._while_ast(js, cond, [body])
+
+    def _while_ast(self, js, cond: Ast, bodies: list[Ast]) -> Ast:
+        node = Node("CONTROL_STRUCTURE", control_structure_type="WHILE",
+                    parser_type_name="WhileStatement", code=self.code_of_node(js),
+                    **self._pos(js))
+        ast = Ast(node).with_child(cond).with_children(bodies)
+        ast.with_typed_edge("condition", node, cond.root)
+        if bodies and bodies[0].root is not None:
+            ast.with_typed_edge("true_body", node, bodies[0].root)
+        return ast
+
+    def _ast_do_while_statement(self, js) -> Ast:
+        cond = self.ast_for_node_with_fref(js["test"])
+        body = self.ast_for_node_with_fref(js["body"])
+        node = Node("CONTROL_STRUCTURE", control_structure_type="DO",
+                    parser_type_name="DoWhileStatement", code=self.code_of_node(js),
+                    **self._pos(js))
+        ast = Ast(node).with_child(body).with_child(cond)
+        ast.with_typed_edge("condition", node, cond.root)
+        if body.root is not None:
+            ast.with_typed_edge("do_body", node, body.root)
+        return ast
+
+    def _ast_for_statement(self, js) -> Ast:
+        init = [self.ast_for_node_with_fref(js["init"])] if js.get("init") else []
+        if js.get("test"):
+            test = [self.ast_for_node_with_fref(js["test"])]
+        else:
+            test = [Ast(self.literal_node(js, "true", "__ecma.Boolean"))]
+        update = [self.ast_for_node_with_fref(js["update"])] if js.get("update") else []
+        body = self.ast_for_node_with_fref(js["body"])
+        node = Node("CONTROL_STRUCTURE", control_structure_type="FOR",
+                    parser_type_name="ForStatement", code=self.code_of_node(js), **self._pos(js))
+        line = node.line
+
+        def wrap(asts, order):
+            if len(asts) == 1:
+                a = asts[0]
+            elif not asts:
+                a = Ast(Node("BLOCK", code="<empty>", type_full_name=ANY, line=line))
+            else:
+                a = Ast(Node("BLOCK", code="<empty>", type_full_name=ANY, line=line)).with_children(asts)
+            if a.root is not None:
+                a.root.order = order
+            return a
+
+        init_b = wrap(init, 1)
+        cond_b = wrap(test, 2)
+        upd_b = wrap(update, 3)
+        if body.root is not None:
+            body.root.order = 4
+        ast = (Ast(node).with_child(init_b).with_child(cond_b).with_child(upd_b).with_child(body))
+        for c in test:
+            if c.root is not None:
+                ast.with_typed_edge("condition", node, c.root)
+        if init_b.root is not None:
+            ast.with_typed_edge("for_init", node, init_b.root)
+        if upd_b.root is not None:
+            ast.with_typed_edge("for_update", node, upd_b.root)
+        if body.root is not None:
+            ast.with_typed_edge("for_body", node, body.root)
+        return ast
+
+    def _ast_labeled_statement(self, js) -> Ast:
+        label = js["label"]["name"]
+        target = Node("JUMP_TARGET", name=label, code=f"{label}:",
+                      parser_type_name="LabeledStatement", **self._pos(js))
+        block = self.block_node(js, self.code_of_node(js))
+        self.scope.push_block()
+        self.local_parent_stack.append(block)
+        body = self.ast_for_node_with_fref(js["body"])
+        self.local_parent_stack.pop()
+        self.scope.pop()
+        return Ast(block).with_child(Ast(target)).with_child(body)
+
+    def _jump_ast(self, js, kind: str) -> Ast:
+        node = Node("CONTROL_STRUCTURE", control_structure_type=kind,
+                    parser_type_name=f"{kind.title()}Statement",
+                    code=self.code_of_node(js), **self._pos(js))
+        if js.get("label"):
+            name = js["label"]["name"]
+            jl = Node("JUMP_LABEL", name=name, code=name, order=1, **self._pos(js["label"]))
+            return Ast(node).with_child(Ast(jl)).with_typed_edge("jump_argument", node, jl)
+        return Ast(node)
+
+    def _ast_break_statement(self, js) -> Ast:
+        return self._jump_ast(js, "BREAK")
+
+    def _ast_continue_statement(self, js) -> Ast:
+        return self._jump_ast(js, "CONTINUE")
+
+    def _ast_throw_statement(self, js) -> Ast:
+        arg = self.ast_for_node_with_fref(js["argument"])
+        node = Node("CONTROL_STRUCTURE", control_structure_type="THROW",
+                    parser_type_name="ThrowStatement", code=self.code_of_node(js),
+                    **self._pos(js))
+        ast = Ast(node).with_child(arg)
+        if arg.root is not None:
+            ast.with_typed_edge("argument", node, arg.root)
+        return ast
+
+    def _ast_switch_statement(self, js) -> Ast:
+        disc = self.ast_for_node_with_fref(js["discriminant"])
+        if disc.root is not None:
+            disc.root.order = 1
+        block = self.block_node(js, self.code_of_node(js))
+        block.order = 2
+        self.scope.push_block()
+        self.local_parent_stack.append(block)
+        case_asts = []
+        for case in js["cases"]:
+            if case["test"] is not None:
+                jt = Node("JUMP_TARGET", name="case",
+                          code=f"case {self.code_of_node(case['test'])}:",
+                          parser_type_name="SwitchCase", **self._pos(case))
+                case_asts.append(Ast(jt))
+                case_asts.append(self.ast_for_node_with_fref(case["test"]))
+            else:
+                jt = Node("JUMP_TARGET", name="default", code="default:",
+                          parser_type_name="SwitchCase", **self._pos(case))
+                case_asts.append(Ast(jt))
+            for c in case["consequent"]:
+                case_asts.append(self.ast_for_node_with_fref(c))
+        self.local_parent_stack.pop()
+        self.scope.pop()
+        body = Ast(block).with_children(case_asts)
+        node = Node("CONTROL_STRUCTURE", control_structure_type="SWITCH",
+                    parser_type_name="SwitchStatement", code=self.code_of_node(js),
+                    **self._pos(js))
+        ast = Ast(node).with_child(disc).with_child(body)
+        ast.with_typed_edge("condition", node, disc.root)
+        ast.with_typed_edge("true_body", node, block)
+        return ast
+
+    def _ast_try_statement(self, js) -> Ast:
+        body = self.ast_for_node_with_fref(js["block"])
+        node = Node("CONTROL_STRUCTURE", control_structure_type="TRY",
+                    parser_type_name="TryStatement", code=self.code_of_node(js),
+                    **self._pos(js))
+        ast = Ast(node).with_child(body)
+        if body.root is not None:
+            body.root.argument_index = 1
+            ast.with_typed_edge("try_body", node, body.root)
+        idx = 2
+        if js.get("handler"):
+            h = js["handler"]
+            catch_cs = Node("CONTROL_STRUCTURE", control_structure_type="CATCH",
+                            parser_type_name="CatchClause", code=self.code_of_node(h),
+                            **self._pos(h))
+            cblock = self.block_node(h, self.code_of_node(h))
+            self.scope.push_block()
+            self.local_parent_stack.append(cblock)
+            parts = []
+            if h.get("param") is not None:
+                parts.append(self.ast_for_node_with_fref(h["param"]))
+            parts.extend(self.block_statement_asts(h["body"]["body"]))
+            self.local_parent_stack.pop()
+            self.scope.pop()
+            catch_ast = Ast(catch_cs).with_child(Ast(cblock).with_children(parts))
+            catch_cs.argument_index = idx
+            idx += 1
+            ast.with_child(catch_ast)
+            ast.with_typed_edge("catch_body", node, catch_cs)
+        if js.get("finalizer"):
+            f = js["finalizer"]
+            fin_cs = Node("CONTROL_STRUCTURE", control_structure_type="FINALLY",
+                          parser_type_name="BlockStatement", code=self.code_of_node(f),
+                          **self._pos(f))
+            fin_ast = Ast(fin_cs).with_child(self.ast_for_node_with_fref(f))
+            fin_cs.argument_index = idx
+            ast.with_child(fin_ast)
+            ast.with_typed_edge("finally_body", node, fin_cs)
+        return ast
+
+    # declarations ------------------------------------------------------------
+    def _ast_variable_declaration(self, js) -> Ast:
+        kind = js["kind"]
+        decls = [self._ast_variable_declarator(d, kind) for d in js["declarations"]]
+        decls = [d for d in decls if d is not None]
+        if not decls:
+            return Ast()
+        if len(decls) == 1:
+            return decls[0]
+        return Ast(self.block_node(js, self.code_of_node(js))).with_children(decls)
+
+    def _ast_variable_declarator(self, decl, kind: str) -> Optional[Ast]:
+        idj = decl["id"]
+        init = decl.get("init")
+        declarator_code = f"{kind} {self.code_of_node(decl)}"
+        id_name = idj.get("name", self.code_of_node(idj))
+        local = self.local_node(decl, id_name)
+        self.scope.add_variable(id_name, local)
+        self.cpg.add_node(local)
+        if self.local_parent_stack:
+            self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")
+        if init is None:
+            return Ast()
+        source_ast = self.ast_for_node_with_fref(init)
+        if idj["type"] in ("ObjectPattern", "ArrayPattern"):
+            return self.ast_for_deconstruction(idj, source_ast, declarator_code)
+        dest = self.ast_for_node(idj)
+        return self.assignment_call(
+            dest, source_ast, declarator_code,
+            self.line_of(decl["start"]), self.col_of(decl["start"]),
+        )
+
+    def ast_for_deconstruction(self, pattern, source_ast: Ast, code: str,
+                               param_name: Optional[str] = None) -> Ast:
+        """AstForDeclarationsCreator.astForDeconstruction:459-539."""
+        tmp = self.unused_name("_tmp")
+        block = Node("BLOCK", code=code, type_full_name=ANY, **self._pos(pattern))
+        self.scope.push_block()
+        self.local_parent_stack.append(block)
+        local = self.local_node(pattern, tmp)
+        tmp_node = self.identifier_node(pattern, tmp)
+        self.cpg.add_node(local)
+        self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")
+        self.scope.add_variable(tmp, local)
+        self.scope.add_reference(tmp, tmp_node)
+
+        line, col = self.line_of(pattern["start"]), self.col_of(pattern["start"])
+        if param_name is not None:
+            # tmp = (param === void 0 ? source : param)
+            lhs_id = self.identifier_node(pattern, param_name)
+            self.scope.add_reference(param_name, lhs_id)
+            test = self.equals_call(Ast(lhs_id), Ast(self.void_call(line, col)), line, col)
+            false_id = self.identifier_node(pattern, param_name)
+            self.scope.add_reference(param_name, false_id)
+            rhs = self.ternary_call(test, source_ast, Ast(false_id), line, col)
+        else:
+            rhs = source_ast
+        assign_tmp = self.assignment_call(
+            Ast(tmp_node), rhs, f"{tmp} = {_code_of(rhs.root)}", line, col)
+
+        sub = []
+        if pattern["type"] == "ObjectPattern":
+            for element in pattern["properties"]:
+                if element["type"] == "RestElement":
+                    sub.append(self._spread_or_rest(
+                        element, Ast(self.identifier_node(element, tmp))))
+                    continue
+                value = element["value"]
+                key = element["key"]
+                if value["type"] == "Identifier":
+                    sub.append(self._destruct_object_element(value, key, tmp))
+                elif value["type"] == "AssignmentPattern":
+                    sub.append(self._destruct_object_element_default(value, key, tmp))
+                else:
+                    sub.append(self.ast_for_node_with_fref(value))
+        elif pattern["type"] == "ArrayPattern":
+            for index, element in enumerate(pattern["elements"]):
+                if element is None:
+                    sub.append(Ast())
+                elif element["type"] == "RestElement":
+                    base = Ast(self.identifier_node(element, tmp))
+                    key = Ast(self.literal_node(element, str(index), "__ecma.Number"))
+                    acc = self.index_access_call(base, key,
+                                                 self.line_of(element["start"]),
+                                                 self.col_of(element["start"]))
+                    sub.append(self._spread_or_rest(element, acc))
+                elif element["type"] == "Identifier":
+                    sub.append(self._destruct_array_element(element, index, tmp))
+                elif element["type"] == "AssignmentPattern":
+                    sub.append(self._destruct_array_element_default(element, index, tmp))
+                else:
+                    sub.append(self.ast_for_node_with_fref(element))
+        else:
+            sub.append(self._destruct_object_element(pattern, pattern, tmp))
+
+        ret_tmp = self.identifier_node(pattern, tmp)
+        self.scope.add_reference(tmp, ret_tmp)
+        self.scope.pop()
+        self.local_parent_stack.pop()
+        return Ast(block).with_child(assign_tmp).with_children(sub).with_child(Ast(ret_tmp))
+
+    def _destruct_object_element(self, element, key, tmp: str) -> Ast:
+        value_ast = self.ast_for_node(element)
+        ename = self.code_of_node(element)
+        local = self.local_node(element, ename)
+        self.cpg.add_node(local)
+        self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")
+        self.scope.add_variable(ename, local)
+        line, col = self.line_of(element["start"]), self.col_of(element["start"])
+        base = self.identifier_node(element, tmp)
+        self.scope.add_reference(tmp, base)
+        key_name = _strip_quotes(self.code_of_node(key))
+        part = self.field_identifier_node(key, key_name)
+        access = self.field_access_call(Ast(base), part, line, col)
+        return self.assignment_call(
+            value_ast, access, f"{_code_of(value_ast.root)} = {_code_of(access.root)}",
+            line, col)
+
+    def _destruct_array_element(self, element, index: int, tmp: str) -> Ast:
+        value_ast = self.ast_for_node(element)
+        ename = self.code_of_node(element)
+        local = self.local_node(element, ename)
+        self.cpg.add_node(local)
+        self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")
+        self.scope.add_variable(ename, local)
+        line, col = self.line_of(element["start"]), self.col_of(element["start"])
+        base = self.identifier_node(element, tmp)
+        self.scope.add_reference(tmp, base)
+        key = Ast(self.literal_node(element, str(index), "__ecma.Number"))
+        access = self.index_access_call(Ast(base), key, line, col)
+        return self.assignment_call(
+            value_ast, access, f"{_code_of(value_ast.root)} = {_code_of(access.root)}",
+            line, col)
+
+    def _destruct_object_element_default(self, element, key, tmp: str) -> Ast:
+        line, col = self.line_of(element["start"]), self.col_of(element["start"])
+        rhs = self.ast_for_node_with_fref(element["right"])
+        lhs = self.ast_for_node_with_fref(element["left"])
+        key_name = _strip_quotes(self.code_of_node(key))
+        base1 = self.identifier_node(element, tmp)
+        self.scope.add_reference(tmp, base1)
+        test_access = self.field_access_call(Ast(base1), self.field_identifier_node(key, key_name),
+                                             line, col)
+        test = self.equals_call(test_access, Ast(self.void_call(line, col)), line, col)
+        base2 = self.identifier_node(element, tmp)
+        self.scope.add_reference(tmp, base2)
+        false_ast = self.field_access_call(Ast(base2), self.field_identifier_node(key, key_name),
+                                           line, col)
+        ternary = self.ternary_call(test, rhs, false_ast, line, col)
+        return self.assignment_call(lhs, ternary,
+                                    f"{_code_of(lhs.root)} = {_code_of(ternary.root)}", line, col)
+
+    def _destruct_array_element_default(self, element, index: int, tmp: str) -> Ast:
+        line, col = self.line_of(element["start"]), self.col_of(element["start"])
+        rhs = self.ast_for_node_with_fref(element["right"])
+        lhs = self.ast_for_node_with_fref(element["left"])
+        key = lambda: Ast(self.literal_node(element, str(index), "__ecma.Number"))  # noqa: E731
+        base1 = self.identifier_node(element, tmp)
+        self.scope.add_reference(tmp, base1)
+        test_access = self.index_access_call(Ast(base1), key(), line, col)
+        test = self.equals_call(test_access, Ast(self.void_call(line, col)), line, col)
+        base2 = self.identifier_node(element, tmp)
+        self.scope.add_reference(tmp, base2)
+        false_ast = self.index_access_call(Ast(base2), key(), line, col)
+        ternary = self.ternary_call(test, rhs, false_ast, line, col)
+        return self.assignment_call(lhs, ternary,
+                                    f"{_code_of(lhs.root)} = {_code_of(ternary.root)}", line, col)
+
+    def _spread_or_rest(self, js, arg1: Optional[Ast] = None) -> Ast:
+        ast = self.ast_for_node_with_fref(js["argument"])
+        call = self.call_node(js, self.code_of_node(js), "<operator>.spread", STATIC)
+        args = ([arg1] if arg1 is not None else []) + [ast]
+        return self.call_ast(call, args)
+
+    _ast_spread_element = _spread_or_rest
+    _ast_rest_element = _spread_or_rest
+
+    # functions -----------------------------------------------------------------
+    def next_closure_name(self) -> str:
+        n = f"<lambda>{self.closure_counter}"
+        self.closure_counter += 1
+        return n
+
+    def method_name_and_fullname(self, js) -> tuple[str, str]:
+        key = f"{js['start']}:{js['end']}"
+        if key in self.function_key_to_name:
+            return self.function_key_to_name[key]
+        if js.get("id"):
+            intended = js["id"]["name"]
+        elif js.get("_key_name"):
+            intended = js["_key_name"]
+        else:
+            intended = self.next_closure_name()
+        prefix = f"{self.filename}:{':'.join(self.scope_name_stack)}:"
+        name = intended
+        i = 1
+        while f"{prefix}{name}" in self.function_full_names:
+            name = f"{intended}{i}"
+            i += 1
+        full = f"{prefix}{name}"
+        self.function_full_names.add(full)
+        self.function_key_to_name[key] = (name, full)
+        return name, full
+
+    def _ast_function_declaration(self, js) -> Ast:
+        return self.ast_for_function(js)
+
+    _ast_function_expression = _ast_function_declaration
+    _ast_arrow_function_expression = _ast_function_declaration
+
+    def ast_for_function(self, js, create_reference: bool = False,
+                         create_assignment: bool = False) -> Ast:
+        """createMethodAstAndNode (AstForFunctionsCreator.scala:396-498)."""
+        name, full_name = self.method_name_and_fullname(js)
+        code = self.code_of_node(js)
+        method_ref = None
+        if create_reference:
+            method_ref = Node("METHOD_REF", code=name, method_full_name=full_name,
+                              type_full_name=full_name, **self._pos(js))
+        call_ast = Ast()
+        if create_assignment and create_reference:
+            id_node = self.identifier_node(js, name)
+            id_local = self.local_node(js, name)
+            self.cpg.add_node(id_local)
+            if self.local_parent_stack:
+                self.cpg.add_edge(self.local_parent_stack[-1], id_local, "AST")
+            self.scope.add_variable(name, id_local)
+            self.scope.add_reference(name, id_node)
+            acode = f"function {name} = {code}"
+            call_ast = self.assignment_call(Ast(id_node), Ast(method_ref), acode,
+                                            self.line_of(js["start"]), self.col_of(js["start"]))
+
+        method = Node("METHOD", name=name, full_name=full_name, code=code,
+                      filename=self.filename, **self._pos(js))
+        parent = self.method_parent_stack[-1]
+        self.method_parent_stack.append(method)
+
+        body_js = js["body"]
+        block = self.block_node(body_js, self.code_of_node(body_js))
+        self.scope.push_method(method)
+        self.scope_name_stack.append(name)
+        self.local_parent_stack.append(block)
+
+        this_param = Node("METHOD_PARAMETER_IN", name="this", code="this", index=0, order=0,
+                          evaluation_strategy="BY_VALUE", type_full_name=ANY,
+                          **self._pos(js))
+        self.scope.add_variable("this", this_param)
+
+        extra_stmts: list[Ast] = []
+        params = self._handle_parameters(js.get("params", []), extra_stmts)
+
+        if js["type"] == "ArrowFunctionExpression" and body_js["type"] != "BlockStatement":
+            ret_code = self.code_of_node(body_js).rstrip(";")
+            ret = Node("RETURN", code=ret_code, **self._pos(body_js))
+            arg = self.ast_for_node_with_fref(body_js)
+            if arg.root is not None and arg.root.is_expression:
+                arg.root.argument_index = 1
+            body_stmts = [Ast(ret).with_child(arg).with_arg_edges(ret, [arg.root])]
+        else:
+            body_stmts = self.block_statement_asts(body_js["body"])
+
+        children = extra_stmts + body_stmts
+
+        self.local_parent_stack.pop()
+        self.scope_name_stack.pop()
+        self.scope.pop()
+        self.method_parent_stack.pop()
+
+        ret_node = Node("METHOD_RETURN", code="RET", type_full_name=ANY, **self._pos(js))
+        modifier = Node("MODIFIER", modifier_type="VIRTUAL", code="<empty>")
+        m_ast = Ast(method)
+        for p in [this_param] + params:
+            m_ast.with_child(Ast(p))
+        m_ast.with_child(Ast(block).with_children(children))
+        m_ast.with_child(Ast(modifier))
+        m_ast.with_child(Ast(ret_node))
+        m_ast.store(self.cpg)
+        # TYPE_DECL + BINDING for the function type
+        td = Node("TYPE_DECL", name=name, full_name=full_name, filename=self.filename, code=name)
+        binding = Node("BINDING", name="", code="<empty>")
+        td_ast = Ast(td)
+        td_ast.nodes.append(binding)
+        td_ast.with_typed_edge("binds", td, binding)
+        td_ast.with_typed_edge("ref", binding, method)
+        td_ast.store(self.cpg)
+        self.cpg.add_edge(parent, method, "AST")
+        if method_ref is not None:
+            self.cpg.add_edge(method_ref, method, "REF")
+        if method_ref is not None and not call_ast.nodes:
+            return Ast(method_ref)
+        return call_ast
+
+    def _handle_parameters(self, params_js: list, extra_stmts: list[Ast]) -> list[Node]:
+        params = []
+        for index, p in enumerate(params_js, start=1):
+            t = p["type"]
+            if t == "RestElement":
+                pname = self.code_of_node(p).replace("...", "")
+                node = Node("METHOD_PARAMETER_IN", name=pname, code=self.code_of_node(p),
+                            index=index, order=index, is_variadic=True,
+                            evaluation_strategy="BY_VALUE", type_full_name=ANY, **self._pos(p))
+                local = self.local_node(p, pname)
+                self.cpg.add_node(local)
+                self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")
+                self.scope.add_variable(pname, node)
+            elif t == "AssignmentPattern":
+                left = p["left"]
+                if left["type"] in ("ObjectPattern", "ArrayPattern"):
+                    pname = self.unused_name(f"param{index}")
+                    node = Node("METHOD_PARAMETER_IN", name=pname, code=self.code_of_node(p),
+                                index=index, order=index, evaluation_strategy="BY_VALUE",
+                                type_full_name=ANY, **self._pos(p))
+                    self.scope.add_variable(pname, node)
+                    rhs = self.ast_for_node_with_fref(p["right"])
+                    extra_stmts.append(
+                        self.ast_for_deconstruction(left, rhs, self.code_of_node(p), pname))
+                else:
+                    extra_stmts.append(self._param_with_default(p))
+                    node = Node("METHOD_PARAMETER_IN", name=self.code_of_node(left),
+                                code=self.code_of_node(p), index=index, order=index,
+                                evaluation_strategy="BY_VALUE", type_full_name=ANY,
+                                **self._pos(left))
+                    self.scope.add_variable(node.name, node)
+            elif t in ("ObjectPattern", "ArrayPattern"):
+                pname = self.unused_name(f"param{index}")
+                node = Node("METHOD_PARAMETER_IN", name=pname, code=self.code_of_node(p),
+                            index=index, order=index, evaluation_strategy="BY_VALUE",
+                            type_full_name=ANY, **self._pos(p))
+                self.scope.add_variable(pname, node)
+                if t == "ObjectPattern":
+                    elements = [(e.get("key"), e.get("value"), e) for e in p["properties"]]
+                else:
+                    elements = [(None, e, e) for e in p["elements"]]
+                for i, (key, value, raw) in enumerate(elements):
+                    if raw is None:
+                        continue
+                    if raw.get("type") == "RestElement":
+                        continue
+                    target = value if value is not None else raw
+                    if target.get("type") != "Identifier":
+                        continue
+                    ename = target["name"]
+                    local = self.local_node(target, ename)
+                    self.cpg.add_node(local)
+                    self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")
+                    self.scope.add_variable(ename, local)
+                    lp = self.identifier_node(target, ename)
+                    base = self.identifier_node(target, pname)
+                    self.scope.add_reference(pname, base)
+                    line, col = self.line_of(target["start"]), self.col_of(target["start"])
+                    if t == "ObjectPattern":
+                        part = self.field_identifier_node(key or target, ename)
+                        access = self.field_access_call(Ast(base), part, line, col)
+                    else:
+                        keya = Ast(self.literal_node(target, str(i), "__ecma.Number"))
+                        access = self.index_access_call(Ast(base), keya, line, col)
+                    extra_stmts.append(self.assignment_call(
+                        Ast(lp), access, f"{ename} = {_code_of(access.root)}", line, col))
+            else:  # Identifier
+                pname = p.get("name", self.code_of_node(p))
+                node = Node("METHOD_PARAMETER_IN", name=pname, code=self.code_of_node(p),
+                            index=index, order=index, evaluation_strategy="BY_VALUE",
+                            type_full_name=ANY, **self._pos(p))
+                self.scope.add_variable(pname, node)
+            params.append(node)
+        return params
+
+    def _param_with_default(self, p) -> Ast:
+        """convertParamWithDefault: `x = (x === void 0 ? default : x)`."""
+        line, col = self.line_of(p["start"]), self.col_of(p["start"])
+        rhs = self.ast_for_node_with_fref(p["right"])
+        lhs = self.ast_for_node(p["left"])
+        key = self.identifier_node(p, _code_of(lhs.root))
+        test = self.equals_call(Ast(key), Ast(self.void_call(line, col)), line, col)
+        false_node = self.identifier_node(p, _code_of(lhs.root))
+        ternary = self.ternary_call(test, rhs, Ast(false_node), line, col)
+        return self.assignment_call(lhs, ternary,
+                                    f"{_code_of(lhs.root)} = {_code_of(ternary.root)}", line, col)
+
+    # expressions -----------------------------------------------------------------
+    def _ast_identifier(self, js) -> Ast:
+        name = js["name"]
+        node = self.identifier_node(js, name)
+        self.scope.add_reference(name, node)
+        return Ast(node)
+
+    def _ast_this_expression(self, js) -> Ast:
+        node = self.identifier_node(js, "this")
+        self.scope.add_reference("this", node)
+        return Ast(node)
+
+    def _ast_super(self, js) -> Ast:
+        return Ast(self.identifier_node(js, "super"))
+
+    def _ast_numeric_literal(self, js) -> Ast:
+        return Ast(self.literal_node(js, self.code_of_node(js), "__ecma.Number"))
+
+    def _ast_string_literal(self, js) -> Ast:
+        return Ast(self.literal_node(js, f'"{js["value"]}"', "__ecma.String"))
+
+    def _ast_boolean_literal(self, js) -> Ast:
+        return Ast(self.literal_node(js, self.code_of_node(js), "__ecma.Boolean"))
+
+    def _ast_null_literal(self, js) -> Ast:
+        return Ast(self.literal_node(js, self.code_of_node(js), "__ecma.Null"))
+
+    def _ast_reg_exp_literal(self, js) -> Ast:
+        return Ast(self.literal_node(js, self.code_of_node(js), "__ecma.String"))
+
+    def _ast_template_element(self, js) -> Ast:
+        return Ast(self.literal_node(js, f'"{js["value"]["raw"]}"', "__ecma.String"))
+
+    def _ast_template_literal(self, js) -> Ast:
+        """astForTemplateLiteral: formatString(...) call."""
+        expressions = js["expressions"]
+        quasis = [q for q in js["quasis"] if not q["tail"]]
+        quasis_tail = [q for q in js["quasis"] if q["tail"]][0]
+        if not expressions and not quasis:
+            return self._ast_template_element(quasis_tail)
+        call_name = "<operator>.formatString"
+        args_codes = []
+        for expr, quasi in zip(expressions, quasis):
+            args_codes += [f'"{quasi["value"]["raw"]}"', self.code_of_node(expr)]
+        args_codes.append(f'"{quasis_tail["value"]["raw"]}"')
+        call_code = f"{call_name}({', '.join(args_codes)})"
+        call = self.call_node(js, call_code, call_name, STATIC)
+        arg_asts = []
+        for expr, quasi in zip(expressions, quasis):
+            arg_asts.append(self._ast_template_element(quasi))
+            arg_asts.append(self.ast_for_node_with_fref(expr))
+        arg_asts.append(self._ast_template_element(quasis_tail))
+        return self.call_ast(call, arg_asts)
+
+    def _ast_sequence_expression(self, js) -> Ast:
+        block = self.block_node(js, self.code_of_node(js))
+        self.scope.push_block()
+        self.local_parent_stack.append(block)
+        children = self.block_statement_asts(js["expressions"])
+        self.local_parent_stack.pop()
+        self.scope.pop()
+        return Ast(block).with_children(children)
+
+    def _ast_await_expression(self, js) -> Ast:
+        call = self.call_node(js, self.code_of_node(js), "<operator>.await", STATIC)
+        return self.call_ast(call, [self.ast_for_node_with_fref(js["argument"])])
+
+    def _ast_unary_expression(self, js) -> Ast:
+        arg = self.ast_for_node_with_fref(js["argument"])
+        op = UNARY_OPERATORS.get(js["operator"], "<operator>.assignment")
+        call = self.call_node(js, self.code_of_node(js), op, STATIC)
+        return self.call_ast(call, [arg])
+
+    def _ast_update_expression(self, js) -> Ast:
+        prefix = js["prefix"]
+        if js["operator"] == "++":
+            op = "<operator>.preIncrement" if prefix else "<operator>.postIncrement"
+        else:
+            # NOTE: reference maps both prefix/postfix `--` to *Increment
+            # (AstForExpressionsCreator.scala:284-287) — replicated for parity
+            op = "<operator>.preIncrement" if prefix else "<operator>.postIncrement"
+        arg = self.ast_for_node_with_fref(js["argument"])
+        call = self.call_node(js, self.code_of_node(js), op, STATIC)
+        return self.call_ast(call, [arg])
+
+    def _ast_binary_expression(self, js) -> Ast:
+        op = BINARY_OPERATORS.get(js["operator"], "<operator>.assignment")
+        lhs = self.ast_for_node_with_fref(js["left"])
+        rhs = self.ast_for_node_with_fref(js["right"])
+        call = self.call_node(js, self.code_of_node(js), op, STATIC)
+        return self.call_ast(call, [lhs, rhs])
+
+    _ast_logical_expression = _ast_binary_expression
+
+    def _ast_conditional_expression(self, js) -> Ast:
+        test = self.ast_for_node_with_fref(js["test"])
+        cons = self.ast_for_node_with_fref(js["consequent"])
+        alt = self.ast_for_node_with_fref(js["alternate"])
+        return self.ternary_call(test, cons, alt,
+                                 self.line_of(js["start"]), self.col_of(js["start"]))
+
+    def _ast_assignment_expression(self, js) -> Ast:
+        op = OPERATORS.get(js.get("operator", "="), "<operator>.assignment")
+        left = js["left"]
+        if left["type"] in ("ObjectPattern", "ArrayPattern"):
+            rhs = self.ast_for_node_with_fref(js["right"])
+            return self.ast_for_deconstruction(left, rhs, self.code_of_node(js))
+        lhs = self.ast_for_node(left)
+        rhs = self.ast_for_node_with_fref(js["right"])
+        call = self.call_node(js, self.code_of_node(js), op, STATIC)
+        return self.call_ast(call, [lhs, rhs])
+
+    _ast_assignment_pattern = _ast_assignment_expression
+
+    def _ast_member_expression(self, js) -> Ast:
+        base = self.ast_for_node_with_fref(js["object"])
+        prop = js["property"]
+        line, col = self.line_of(js["start"]), self.col_of(js["start"])
+        if js.get("computed"):
+            member = self.ast_for_node(prop)
+            return self.index_access_call(base, member, line, col)
+        field_name = _strip_quotes(self.code_of_node(prop))
+        part = self.field_identifier_node(prop, field_name)
+        return self.field_access_call(base, part, line, col)
+
+    def _ast_call_expression(self, js) -> Ast:
+        callee = js["callee"]
+        callee_code = self.code_of_node(callee)
+        if callee_code in GLOBAL_BUILTINS:
+            call_name = (self.code_of_node(callee["property"])
+                         if callee["type"] == "MemberExpression" else callee_code)
+            call = self.call_node_at(self.code_of_node(js), call_name, STATIC,
+                                     self.line_of(callee["start"]), self.col_of(callee["start"]))
+            args = [self.ast_for_node_with_fref(a) for a in js["arguments"]]
+            return self.call_ast(call, args)
+        receiver_ast, base_node, call_name = self._call_expression_info(callee)
+        args = [self.ast_for_node_with_fref(a) for a in js["arguments"]]
+        call = self.call_node(js, self.code_of_node(js), call_name, DYNAMIC)
+        # resolve closure callees locally, if possible
+        if callee["type"] in ("FunctionExpression", "ArrowFunctionExpression",
+                              "FunctionDeclaration"):
+            key = f"{callee['start']}:{callee['end']}"
+            if key in self.function_key_to_name:
+                n, fn = self.function_key_to_name[key]
+                call.name, call.method_full_name = n, fn
+        elif callee["type"] == "Identifier":
+            pass  # call linking happens in the call-graph pass by name
+        return self.call_ast(call, args, base=Ast(base_node), receiver=receiver_ast)
+
+    def _call_expression_info(self, callee) -> tuple[Ast, Node, str]:
+        """callExpressionInfoForCallLikeExpr (AstForExpressionsCreator.scala:54-93)."""
+        if callee["type"] == "MemberExpression":
+            base = callee["object"]
+            member = callee["property"]
+            if base["type"] == "ThisExpression":
+                receiver = self.ast_for_node_with_fref(callee)
+                base_node = self.identifier_node(base, self.code_of_node(base))
+                self.scope.add_reference(base_node.name, base_node)
+                return receiver, base_node, self.code_of_node(member)
+            if base["type"] == "Identifier":
+                receiver = self.ast_for_node_with_fref(callee)
+                base_node = self.identifier_node(base, self.code_of_node(base))
+                self.scope.add_reference(base_node.name, base_node)
+                return receiver, base_node, self.code_of_node(member)
+            # tmp lowering: (_tmp_0 = <base>).<member>
+            tmp = self.unused_name("_tmp")
+            base_tmp = self.identifier_node(base, tmp)
+            self.scope.add_reference(tmp, base_tmp)
+            base_ast = self.ast_for_node_with_fref(base)
+            code = f"({tmp} = {self.code_of_node(base)})"
+            tmp_assign = self.assignment_call(Ast(base_tmp), base_ast, code,
+                                              self.line_of(base["start"]),
+                                              self.col_of(base["start"]))
+            field_name = _strip_quotes(self.code_of_node(member))
+            part = self.field_identifier_node(member, field_name)
+            field_access = self.field_access_call(tmp_assign, part,
+                                                  self.line_of(callee["start"]),
+                                                  self.col_of(callee["start"]))
+            this_tmp = self.identifier_node(callee, tmp)
+            self.scope.add_reference(tmp, this_tmp)
+            return field_access, this_tmp, self.code_of_node(member)
+        receiver = self.ast_for_node_with_fref(callee)
+        this_node = self.identifier_node(callee, "this")
+        self.scope.add_reference("this", this_node)
+        return receiver, this_node, self.code_of_node(callee)
+
+    def _ast_new_expression(self, js) -> Ast:
+        """astForNewExpression: block { _tmp = .alloc; new(...); _tmp }."""
+        block = self.block_node(js, self.code_of_node(js))
+        self.scope.push_block()
+        self.local_parent_stack.append(block)
+        tmp = self.unused_name("_tmp")
+        local = self.local_node(js, tmp)
+        tmp1 = self.identifier_node(js, tmp)
+        self.cpg.add_node(local)
+        self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")
+        self.scope.add_variable(tmp, local)
+        self.scope.add_reference(tmp, tmp1)
+        alloc = self.call_node(js, ".alloc", "<operator>.alloc", STATIC)
+        assign = self.assignment_call(Ast(tmp1), Ast(alloc), f"{tmp} = .alloc",
+                                      self.line_of(js["start"]), self.col_of(js["start"]))
+        tmp2 = self.identifier_node(js, tmp)
+        self.scope.add_reference(tmp, tmp2)
+        receiver = self.ast_for_node_with_fref(js["callee"])
+        args = [self.ast_for_node_with_fref(a) for a in js["arguments"]]
+        call = self.call_node(js, self.code_of_node(js), "<operator>.new", DYNAMIC)
+        call_ast = self.call_ast(call, args, base=Ast(tmp2), receiver=receiver)
+        tmp3 = self.identifier_node(js, tmp)
+        self.scope.add_reference(tmp, tmp3)
+        self.scope.pop()
+        self.local_parent_stack.pop()
+        return Ast(block).with_child(assign).with_child(call_ast).with_child(Ast(tmp3))
+
+    def _ast_object_expression(self, js) -> Ast:
+        """astForObjectExpression: tmp-lowered property assignments."""
+        block = self.block_node(js, self.code_of_node(js))
+        self.scope.push_block()
+        self.local_parent_stack.append(block)
+        tmp = self.unused_name("_tmp")
+        local = self.local_node(js, tmp)
+        self.cpg.add_node(local)
+        self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")
+        self.scope.add_variable(tmp, local)
+
+        prop_asts = []
+        for prop in js["properties"]:
+            pt = prop["type"]
+            if pt in ("SpreadElement", "RestElement"):
+                prop_asts.append(self._spread_or_rest(prop, Ast(self.identifier_node(prop, tmp))))
+                continue
+            line, col = self.line_of(prop["start"]), self.col_of(prop["start"])
+            if pt == "ObjectMethod":
+                key_name = prop["key"].get("name", self.code_of_node(prop["key"]))
+                prop["_key_name"] = key_name
+                method_js = dict(prop)
+                method_js["type"] = "FunctionExpression"
+                method_js["id"] = {"name": key_name, "start": prop["key"]["start"],
+                                   "end": prop["key"]["end"], "type": "Identifier"}
+                rhs_ast = self.ast_for_function(method_js, create_reference=True)
+                key_ast = Ast(self.field_identifier_node(prop["key"], _strip_quotes(key_name)))
+            else:
+                key = prop["key"]
+                if prop.get("computed"):
+                    key_ast = self.ast_for_node(key)
+                else:
+                    field_name = _strip_quotes(self.code_of_node(key))
+                    key_ast = Ast(self.field_identifier_node(key, field_name))
+                rhs_ast = self.ast_for_node_with_fref(prop["value"])
+            lhs_tmp = self.identifier_node(prop, tmp)
+            self.scope.add_reference(tmp, lhs_tmp)
+            if key_ast.root is not None and key_ast.root.label == "FIELD_IDENTIFIER":
+                lhs_access = self.field_access_call(Ast(lhs_tmp), key_ast.root, line, col)
+            else:
+                lhs_access = self.index_access_call(Ast(lhs_tmp), key_ast, line, col)
+            prop_asts.append(self.assignment_call(
+                lhs_access, rhs_ast,
+                f"{_code_of(lhs_access.root)} = {_code_of(rhs_ast.root)}", line, col))
+
+        tmp_ret = self.identifier_node(js, tmp)
+        self.scope.add_reference(tmp, tmp_ret)
+        self.scope.pop()
+        self.local_parent_stack.pop()
+        return Ast(block).with_children(prop_asts).with_child(Ast(tmp_ret))
+
+    _ast_object_pattern = _ast_object_expression
+
+    def _ast_array_expression(self, js) -> Ast:
+        """astForArrayExpression: tmp + .push() lowering."""
+        elements = [e for e in js.get("elements", [])]
+        if not elements:
+            return Ast(self.call_node(js, f"{ARRAY_FACTORY}()", ARRAY_FACTORY, STATIC))
+        block = self.block_node(js, self.code_of_node(js))
+        self.scope.push_block()
+        self.local_parent_stack.append(block)
+        tmp = self.unused_name("_tmp")
+        local = self.local_node(js, tmp)
+        tmp_node = self.identifier_node(js, tmp)
+        self.cpg.add_node(local)
+        self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")
+        self.scope.add_variable(tmp, local)
+        self.scope.add_reference(tmp, tmp_node)
+        factory = self.call_node(js, f"{ARRAY_FACTORY}()", ARRAY_FACTORY, STATIC)
+        assign = self.assignment_call(Ast(tmp_node), Ast(factory),
+                                      f"{tmp} = {ARRAY_FACTORY}()",
+                                      self.line_of(js["start"]), self.col_of(js["start"]))
+        elem_asts = []
+        for element in elements:
+            if element is None:
+                continue
+            line, col = self.line_of(element["start"]), self.col_of(element["start"])
+            if element["type"] == "RestElement":
+                elem_ast = self._spread_or_rest(element, Ast(self.identifier_node(js, tmp)))
+            else:
+                elem_ast = self.ast_for_node_with_fref(element)
+            elem_code = _code_of(elem_ast.root) if elem_ast.root else self.code_of_node(element)
+            push_call = self.call_node_at(f"{tmp}.push({elem_code})", "", DYNAMIC, line, col)
+            base = self.identifier_node(element, tmp)
+            self.scope.add_reference(tmp, base)
+            member = self.field_identifier_node(element, "push")
+            receiver = self.field_access_call(Ast(base), member, line, col)
+            this_push = self.identifier_node(element, tmp)
+            self.scope.add_reference(tmp, this_push)
+            elem_asts.append(self.call_ast(push_call, [elem_ast], base=Ast(this_push),
+                                           receiver=receiver))
+        tmp_ret = self.identifier_node(js, tmp)
+        self.scope.add_reference(tmp, tmp_ret)
+        self.scope.pop()
+        self.local_parent_stack.pop()
+        return Ast(block).with_child(assign).with_children(elem_asts).with_child(Ast(tmp_ret))
+
+    _ast_array_pattern = _ast_array_expression
+
+    def _ast_tagged_template_expression(self, js) -> Ast:
+        receiver_ast, base_node, call_name = self._call_expression_info(js["tag"])
+        call = self.call_node(js, self.code_of_node(js), call_name, DYNAMIC)
+        quasi = js["quasi"]
+        quasis_arr = {"type": "ArrayExpression", "start": quasi["start"], "end": quasi["end"],
+                      "elements": quasi["quasis"]}
+        quasis_arg = self._ast_array_expression(quasis_arr)
+        expr_args = [self.ast_for_node_with_fref(e) for e in quasi["expressions"]]
+        return self.call_ast(call, [quasis_arg] + expr_args, base=Ast(base_node),
+                             receiver=receiver_ast)
+
+    # for-in / for-of desugaring ---------------------------------------------------
+    def _ast_for_in_statement(self, js) -> Ast:
+        return self._ast_in_of(js)
+
+    _ast_for_of_statement = _ast_for_in_statement
+
+    def _ast_in_of(self, js) -> Ast:
+        """astForInOfStatement lowering (AstForStatementsCreator.scala:212-355)."""
+        left = js["left"]
+        id_info = None
+        if left["type"] == "VariableDeclaration":
+            d = left["declarations"][0]
+            id_info = d["id"]
+        elif left["type"] == "AssignmentPattern":
+            id_info = left["left"]
+        else:
+            id_info = left
+        block = self.block_node(js, self.code_of_node(js))
+        self.scope.push_block()
+        self.local_parent_stack.append(block)
+
+        collection = js["right"]
+        collection_name = self.code_of_node(collection)
+        line, col = self.line_of(js["start"]), self.col_of(js["start"])
+
+        iterator_name = self.unused_name("_iterator")
+        it_local = self.local_node(js, iterator_name)
+        it_node = self.identifier_node(js, iterator_name)
+        self.cpg.add_node(it_local)
+        self.cpg.add_edge(self.local_parent_stack[-1], it_local, "AST")
+        self.scope.add_variable(iterator_name, it_local)
+        self.scope.add_reference(iterator_name, it_node)
+        iterator_call = self.call_node(js, f"<operator>.iterator({collection_name})",
+                                       "<operator>.iterator", STATIC)
+        it_call_ast = self.call_ast(iterator_call, [self.ast_for_node_with_fref(collection)])
+        it_assign_node = self.call_node(
+            js, f"{iterator_name} = <operator>.iterator({collection_name})",
+            "<operator>.assignment", STATIC)
+        it_assign = self.call_ast(it_assign_node, [Ast(it_node), it_call_ast])
+
+        result_name = self.unused_name("_result")
+        res_local = self.local_node(js, result_name)
+        res_node = self.identifier_node(js, result_name)
+        self.cpg.add_node(res_local)
+        self.cpg.add_edge(self.local_parent_stack[-1], res_local, "AST")
+        self.scope.add_variable(result_name, res_local)
+        self.scope.add_reference(result_name, res_node)
+
+        loop_var_nodes = []
+        if id_info["type"] == "Identifier":
+            loop_names = [id_info.get("name", self.code_of_node(id_info))]
+        elif id_info["type"] == "ObjectPattern":
+            loop_names = [_strip_quotes(self.code_of_node(p)) for p in id_info["properties"]]
+        elif id_info["type"] == "ArrayPattern":
+            loop_names = [self.code_of_node(e) for e in id_info["elements"] if e]
+        else:
+            loop_names = []
+        for ln in loop_names:
+            lv_local = self.local_node(js, ln)
+            lv_node = self.identifier_node(js, ln)
+            self.cpg.add_node(lv_local)
+            self.cpg.add_edge(self.local_parent_stack[-1], lv_local, "AST")
+            self.scope.add_variable(ln, lv_local)
+            self.scope.add_reference(ln, lv_node)
+            loop_var_nodes.append(lv_node)
+
+        # test: !(_result = _iterator.next()).done
+        test_call = self.call_node(js, f"!({result_name} = {iterator_name}.next()).done",
+                                   "<operator>.logicalNot", STATIC)
+        done_base = self.call_node(js, f"({result_name} = {iterator_name}.next())",
+                                   "<operator>.assignment", STATIC)
+        lhs_node = self.identifier_node(js, result_name)
+        self.scope.add_reference(result_name, lhs_node)
+        rhs_call = self.call_node(js, f"{iterator_name}.next()", "next", DYNAMIC)
+        next_base = self.identifier_node(js, iterator_name)
+        self.scope.add_reference(iterator_name, next_base)
+        next_member = self.field_identifier_node(js, "next")
+        next_receiver = self.field_access_call(Ast(next_base), next_member, line, col)
+        this_next = self.identifier_node(js, iterator_name)
+        self.scope.add_reference(iterator_name, this_next)
+        rhs_ast = self.call_ast(rhs_call, [], base=Ast(this_next), receiver=next_receiver)
+        done_base_ast = self.call_ast(done_base, [Ast(lhs_node), rhs_ast])
+        done_member = self.field_identifier_node(js, "done")
+        test_node = self.field_access_call(done_base_ast, done_member, line, col)
+        test_ast = self.call_ast(test_call, [test_node])
+
+        # loop variable assignment(s)
+        assigns = []
+        if id_info["type"] == "Identifier":
+            ln = loop_names[0]
+            wl_var = self.identifier_node(js, ln)
+            self.scope.add_reference(ln, wl_var)
+            base = self.identifier_node(js, result_name)
+            self.scope.add_reference(result_name, base)
+            member = self.field_identifier_node(js, "value")
+            access = self.field_access_call(Ast(base), member, line, col)
+            assign_node = self.call_node(js, f"{ln} = {result_name}.value",
+                                         "<operator>.assignment", STATIC)
+            assigns.append(self.call_ast(assign_node, [Ast(wl_var), access]))
+        elif id_info["type"] == "ObjectPattern":
+            for ln in loop_names:
+                wl_var = self.identifier_node(js, ln)
+                self.scope.add_reference(ln, wl_var)
+                base = self.identifier_node(js, result_name)
+                self.scope.add_reference(result_name, base)
+                member = self.field_identifier_node(js, "value")
+                access = self.field_access_call(Ast(base), member, line, col)
+                vmember = self.field_identifier_node(js, ln)
+                vaccess = self.field_access_call(access, vmember, line, col)
+                assign_node = self.call_node(js, f"{ln} = {result_name}.value.{ln}",
+                                             "<operator>.assignment", STATIC)
+                assigns.append(self.call_ast(assign_node, [Ast(wl_var), vaccess]))
+        elif id_info["type"] == "ArrayPattern":
+            for i, ln in enumerate(loop_names):
+                wl_var = self.identifier_node(js, ln)
+                self.scope.add_reference(ln, wl_var)
+                base = self.identifier_node(js, result_name)
+                self.scope.add_reference(result_name, base)
+                member = self.field_identifier_node(js, "value")
+                access = self.field_access_call(Ast(base), member, line, col)
+                key = Ast(self.literal_node(js, str(i), "__ecma.Number"))
+                vaccess = self.index_access_call(access, key, line, col)
+                assign_node = self.call_node(js, f"{ln} = {result_name}.value[{i}]",
+                                             "<operator>.assignment", STATIC)
+                assigns.append(self.call_ast(assign_node, [Ast(wl_var), vaccess]))
+        else:
+            # expression form: expr = _result.value
+            wl_var = self.ast_for_node(id_info)
+            base = self.identifier_node(js, result_name)
+            self.scope.add_reference(result_name, base)
+            member = self.field_identifier_node(js, "value")
+            access = self.field_access_call(Ast(base), member, line, col)
+            assign_node = self.call_node(
+                js, f"{self.code_of_node(id_info)} = {result_name}.value",
+                "<operator>.assignment", STATIC)
+            assigns.append(self.call_ast(assign_node, [wl_var, access]))
+
+        while_block = self.block_node(js, self.code_of_node(js))
+        self.scope.push_block()
+        self.local_parent_stack.append(while_block)
+        body_ast = self.ast_for_node_with_fref(js["body"])
+        self.local_parent_stack.pop()
+        self.scope.pop()
+        while_block_ast = Ast(while_block).with_children(assigns + [body_ast])
+        while_ast = self._while_ast(js, test_ast, [while_block_ast])
+
+        self.scope.pop()
+        self.local_parent_stack.pop()
+        children = [it_assign, Ast(res_node)] + [Ast(n) for n in loop_var_nodes] + [while_ast]
+        return Ast(block).with_children(children)
+
+    # classes (basic) ---------------------------------------------------------------
+    def _ast_class_declaration(self, js) -> Ast:
+        name = js["id"]["name"] if js.get("id") else f"<anon-class>{self.closure_counter}"
+        full_name = f"{self.filename}:{':'.join(self.scope_name_stack)}:{name}"
+        td = Node("TYPE_DECL", name=name, full_name=full_name, code=self.code_of_node(js),
+                  filename=self.filename, **self._pos(js))
+        td_ast = Ast(td)
+        self.method_parent_stack.append(td)
+        self.scope_name_stack.append(name)
+        for member in js["body"]["body"]:
+            if member["type"] == "ClassMethod":
+                key_name = member["key"].get("name", self.code_of_node(member["key"]))
+                m_js = dict(member)
+                m_js["type"] = "FunctionExpression"
+                m_js["id"] = {"name": key_name, "start": member["key"]["start"],
+                              "end": member["key"]["end"], "type": "Identifier"}
+                self.ast_for_function(m_js)
+                mem = Node("MEMBER", name=key_name, code=self.code_of_node(member),
+                           **self._pos(member))
+                td_ast.with_child(Ast(mem))
+            elif member["type"] == "ClassProperty":
+                key_name = member["key"].get("name", self.code_of_node(member["key"]))
+                mem = Node("MEMBER", name=key_name, code=self.code_of_node(member),
+                           **self._pos(member))
+                td_ast.with_child(Ast(mem))
+        self.scope_name_stack.pop()
+        self.method_parent_stack.pop()
+        td_ast.store(self.cpg)
+        self.cpg.add_edge(self.method_parent_stack[-1], td, "AST")
+        return Ast()
+
+    _ast_class_expression = _ast_class_declaration
+
+    # imports / exports ----------------------------------------------------------
+    def _ast_import_declaration(self, js) -> Ast:
+        """astForImportDeclaration: var x = require("source") lowering."""
+        source = js["source"]["value"] if js.get("source") else ""
+        specifiers = js.get("specifiers", [])
+        if not specifiers:
+            return self._require_assignment(js, source, None, source)
+        asts = []
+        for spec in specifiers:
+            name = spec["local"]["name"]
+            if spec["type"] == "ImportSpecifier":
+                req_name = spec["imported"]["name"]
+                alias = name
+            else:
+                req_name, alias = name, None
+            asts.append(self._require_assignment(js, req_name, alias, source,
+                                                 is_import_n=spec["type"] == "ImportSpecifier"))
+        if len(asts) == 1:
+            return asts[0]
+        return Ast(self.block_node(js, self.code_of_node(js))).with_children(asts)
+
+    def _require_assignment(self, js, name, alias, from_source, is_import_n=False) -> Ast:
+        dest_name = alias or name
+        dest = self.identifier_node(js, dest_name)
+        local = self.local_node(js, dest_name)
+        self.cpg.add_node(local)
+        if self.local_parent_stack:
+            self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")
+        self.scope.add_variable(dest_name, local)
+        self.scope.add_reference(dest_name, dest)
+        line, col = self.line_of(js["start"]), self.col_of(js["start"])
+        src_lit = self.literal_node(js, f'"{from_source}"')
+        source_call = self.call_node(js, f'require("{from_source}")', "require", DYNAMIC)
+        recv = self.identifier_node(js, "require")
+        this_node = self.identifier_node(js, "this")
+        self.scope.add_reference("this", this_node)
+        c_ast = self.call_ast(source_call, [Ast(src_lit)], base=Ast(this_node), receiver=Ast(recv))
+        if is_import_n:
+            part = self.field_identifier_node(js, _strip_quotes(name))
+            c_ast = self.field_access_call(c_ast, part, line, col)
+        return self.assignment_call(Ast(dest), c_ast,
+                                    f"var {dest_name} = {_code_of(c_ast.root)}", line, col)
+
+    def _ast_export_named_declaration(self, js) -> Ast:
+        if js.get("declaration"):
+            return self.ast_for_node_with_fref_and_call(js["declaration"])
+        return Ast()
+
+    def _ast_export_default_declaration(self, js) -> Ast:
+        if js.get("declaration"):
+            return self.ast_for_node_with_fref_and_call(js["declaration"])
+        return Ast()
+
+    def _ast_unknown(self, js) -> Ast:
+        return Ast(Node("UNKNOWN", code=self.code_of_node(js), **self._pos(js)))
+
+    # post passes ------------------------------------------------------------------
+    def _add_contains_edges(self):
+        """ContainsEdgePass: METHOD -CONTAINS-> every AST node within the
+        method body, not descending into nested methods/type decls."""
+        for method in self.cpg.methods():
+            stack = [c for c in self.cpg.ast_children(method)]
+            while stack:
+                n = stack.pop()
+                if n.label in ("METHOD", "TYPE_DECL"):
+                    continue
+                self.cpg.add_edge(method, n, "CONTAINS")
+                stack.extend(self.cpg.ast_children(n))
+
+    def _link_parameter_outs(self):
+        """MethodDecoratorPass: METHOD_PARAMETER_OUT + PARAMETER_LINK per
+        input parameter."""
+        for method in self.cpg.methods():
+            m_ast_children = self.cpg.ast_children(method)
+            for p in m_ast_children:
+                if p.label != "METHOD_PARAMETER_IN":
+                    continue
+                out = Node("METHOD_PARAMETER_OUT", name=p.name, code=p.code,
+                           index=p.index, order=p.order,
+                           evaluation_strategy=p.evaluation_strategy,
+                           type_full_name=p.type_full_name, line=p.line, column=p.column)
+                self.cpg.add_node(out)
+                self.cpg.add_edge(method, out, "AST")
+                self.cpg.add_edge(p, out, "PARAMETER_LINK")
+
+
+def _shorten(code: str, max_len: int = MAX_CODE_LENGTH) -> str:
+    return code if len(code) <= max_len else code[: max_len - 3] + "..."
+
+
+def _strip_quotes(s: str) -> str:
+    for q in ('"', "'", "`"):
+        if s.startswith(q):
+            s = s[1:]
+        if s.endswith(q):
+            s = s[:-1]
+    return s
+
+
+def _code_of(node: Optional[Node]) -> str:
+    return node.code if node is not None else ""
+
+
+def _snake(name: str) -> str:
+    out = []
+    for i, ch in enumerate(name):
+        if ch.isupper() and i > 0 and (not name[i - 1].isupper()):
+            out.append("_")
+        out.append(ch.lower())
+    return "".join(out)
+
+
+def lower_js(src: str, filename: str = "script.js") -> Cpg:
+    """Parse + lower one JS document to a CPG (AST layer only — CFG/DDG are
+    added by cfg.py / reachingdef.py)."""
+    return AstLowerer(src, filename).create()

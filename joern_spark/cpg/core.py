@@ -1,0 +1,369 @@
+"""Per-document CPG data model (nodes, edges, AST assembly).
+
+Mirrors the reference's node/edge semantics (x2cpg Ast.scala — child order
+assignment, ARGUMENT/RECEIVER/CONDITION/... typed edges) on plain Python
+objects.  One `Cpg` per document; documents are independent, which is what
+makes `groupBy(url).applyInPandas` the unit of Spark parallelism.
+
+Node ids are per-document sequence numbers; globally-stable ids are derived
+at DataFrame-conversion time as hash64(url, label, start, end, seq) —
+required for exactly-once sinks and checkpoint-resume (FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+# --- label taxonomy (mirrors the CPG schema hierarchy) ----------------------
+
+EXPRESSION_LABELS = {
+    "CALL", "IDENTIFIER", "LITERAL", "BLOCK", "CONTROL_STRUCTURE",
+    "FIELD_IDENTIFIER", "METHOD_REF", "TYPE_REF", "UNKNOWN", "TEMPLATE_DOM",
+    "RETURN",  # Return IS an Expression in the CPG schema
+}
+CFG_NODE_LABELS = EXPRESSION_LABELS | {
+    "METHOD", "METHOD_PARAMETER_IN", "METHOD_PARAMETER_OUT", "METHOD_RETURN",
+    "RETURN", "JUMP_TARGET",
+}
+AST_NODE_LABELS = CFG_NODE_LABELS | {
+    "LOCAL", "MEMBER", "MODIFIER", "TYPE_DECL", "FILE", "NAMESPACE_BLOCK",
+    "JUMP_LABEL", "IMPORT", "BINDING", "DEPENDENCY", "ANNOTATION",
+}
+
+# <operator>.* names — the generic member-access set (MemberAccess.scala)
+GENERIC_MEMBER_ACCESS_NAMES = {
+    "<operator>.memberAccess", "<operator>.indirectMemberAccess",
+    "<operator>.computedMemberAccess", "<operator>.indirectComputedMemberAccess",
+    "<operator>.indirection", "<operator>.fieldAccess",
+    "<operator>.indirectFieldAccess", "<operator>.indexAccess",
+    "<operator>.indirectIndexAccess", "<operator>.pointerShift",
+    "<operator>.getElementPtr",
+}
+FIELD_ACCESS_NAMES = {
+    "<operator>.fieldAccess", "<operator>.indirectFieldAccess",
+}
+
+ALL_ASSIGNMENT_TYPES = {
+    "<operator>.assignment", "<operator>.assignmentOr", "<operator>.assignmentAnd",
+    "<operator>.assignmentXor", "<operator>.assignmentDivision",
+    "<operator>.assignmentExponentiation", "<operator>.assignmentModulo",
+    "<operator>.assignmentMultiplication", "<operator>.assignmentPlus",
+    "<operator>.assignmentMinus", "<operator>.assignmentShiftLeft",
+    "<operator>.assignmentArithmeticShiftRight", "<operator>.assignmentLogicalShiftRight",
+}
+
+
+class Node:
+    """A CPG node under construction (mirrors NewNode)."""
+
+    _UNSET_ORDER = -1
+
+    __slots__ = (
+        "id", "label", "name", "full_name", "code", "order", "argument_index",
+        "argument_name", "line", "column", "type_full_name", "dispatch_type",
+        "method_full_name", "control_structure_type", "parser_type_name",
+        "evaluation_strategy", "index", "is_external", "canonical_name",
+        "modifier_type", "is_variadic", "signature", "filename", "start", "end",
+    )
+
+    def __init__(self, label: str, **kw):
+        self.id = -1
+        self.label = label
+        self.name = kw.get("name", "")
+        self.full_name = kw.get("full_name", "")
+        self.code = kw.get("code", "<empty>")
+        self.order = kw.get("order", Node._UNSET_ORDER)
+        self.argument_index = kw.get("argument_index", -1)
+        self.argument_name = kw.get("argument_name")
+        self.line = kw.get("line")
+        self.column = kw.get("column")
+        self.type_full_name = kw.get("type_full_name", "ANY")
+        self.dispatch_type = kw.get("dispatch_type", "")
+        self.method_full_name = kw.get("method_full_name", "")
+        self.control_structure_type = kw.get("control_structure_type", "")
+        self.parser_type_name = kw.get("parser_type_name", "")
+        self.evaluation_strategy = kw.get("evaluation_strategy", "")
+        self.index = kw.get("index", -1)
+        self.is_external = kw.get("is_external", False)
+        self.canonical_name = kw.get("canonical_name", "")
+        self.modifier_type = kw.get("modifier_type", "")
+        self.is_variadic = kw.get("is_variadic", False)
+        self.signature = kw.get("signature", "")
+        self.filename = kw.get("filename", "")
+        self.start = kw.get("start")
+        self.end = kw.get("end")
+
+    # label predicates -------------------------------------------------------
+    @property
+    def is_expression(self) -> bool:
+        return self.label in EXPRESSION_LABELS
+
+    @property
+    def is_cfg_node(self) -> bool:
+        return self.label in CFG_NODE_LABELS
+
+    def __repr__(self):  # pragma: no cover
+        return f"<{self.label}#{self.id} {self.code[:30]!r}>"
+
+
+class Edge:
+    __slots__ = ("src", "dst", "label", "variable")
+
+    def __init__(self, src: Node, dst: Node, label: str, variable: str = ""):
+        self.src = src
+        self.dst = dst
+        self.label = label
+        self.variable = variable
+
+    def __repr__(self):  # pragma: no cover
+        return f"{self.src!r} -{self.label}-> {self.dst!r}"
+
+
+class Ast:
+    """AST under construction (mirrors x2cpg Ast.scala:85-341).
+
+    `nodes` keeps insertion order; `edges` are AST edges; typed edge lists
+    carry CONDITION/ARGUMENT/RECEIVER/... — stored to the graph by
+    `store(cpg)` which also assigns sibling `order` values
+    (Ast.scala:64-81 setOrderWhereNotSet).
+    """
+
+    TYPED = (
+        "condition", "true_body", "false_body", "do_body", "try_body",
+        "catch_body", "finally_body", "for_init", "for_update", "for_body",
+        "receiver", "ref", "argument", "binds", "capture", "jump_argument",
+    )
+
+    def __init__(self, node: Optional[Node] = None):
+        self.nodes: list[Node] = [node] if node is not None else []
+        self.edges: list[tuple[Node, Node]] = []
+        self.typed: dict[str, list[tuple[Node, Node]]] = {k: [] for k in Ast.TYPED}
+
+    @property
+    def root(self) -> Optional[Node]:
+        return self.nodes[0] if self.nodes else None
+
+    def with_child(self, other: "Ast") -> "Ast":
+        if self.root is not None and other.root is not None:
+            self.edges.append((self.root, other.root))
+        self._merge(other)
+        return self
+
+    def with_children(self, asts) -> "Ast":
+        for a in asts:
+            self.with_child(a)
+        return self
+
+    def merge(self, other: "Ast") -> "Ast":
+        self._merge(other)
+        return self
+
+    def _merge(self, other: "Ast"):
+        self.nodes.extend(other.nodes)
+        self.edges.extend(other.edges)
+        for k in Ast.TYPED:
+            self.typed[k].extend(other.typed[k])
+
+    def with_typed_edge(self, kind: str, src: Node, dst: Node) -> "Ast":
+        self.typed[kind].append((src, dst))
+        return self
+
+    def with_arg_edges(self, src: Node, dsts) -> "Ast":
+        for d in dsts:
+            self.typed["argument"].append((src, d))
+        return self
+
+    def store(self, cpg: "Cpg"):
+        """storeInDiffGraph: register nodes, AST edges, typed edges; assign
+        sibling order for unset orders."""
+        # root default order
+        if self.root is not None and self.root.order == Node._UNSET_ORDER:
+            self.root.order = 1
+        by_src: dict[int, list[Node]] = {}
+        seen_pairs = set()
+        for src, dst in self.edges:
+            by_src.setdefault(id(src), []).append(dst)
+        for children in by_src.values():
+            for idx, child in enumerate(children):
+                if child.order == Node._UNSET_ORDER:
+                    child.order = idx + 1
+        for node in self.nodes:
+            cpg.add_node(node)
+        for src, dst in self.edges:
+            cpg.add_edge(src, dst, "AST")
+        label_map = {
+            "condition": "CONDITION", "true_body": "TRUE_BODY",
+            "false_body": "FALSE_BODY", "do_body": "DO_BODY",
+            "try_body": "TRY_BODY", "catch_body": "CATCH_BODY",
+            "finally_body": "FINALLY_BODY", "for_init": "FOR_INIT",
+            "for_update": "FOR_UPDATE", "for_body": "FOR_BODY",
+            "receiver": "RECEIVER", "ref": "REF", "argument": "ARGUMENT",
+            "binds": "BINDS", "capture": "CAPTURE", "jump_argument": "JUMP_ARGUMENT",
+        }
+        for kind, pairs in self.typed.items():
+            for src, dst in pairs:
+                cpg.add_edge(src, dst, label_map[kind])
+
+
+class Cpg:
+    """One document's code property graph."""
+
+    def __init__(self, filename: str = ""):
+        self.filename = filename
+        self.nodes: list[Node] = []
+        self.edges: list[Edge] = []
+        self._node_ids = set()
+        # adjacency indexes (built lazily)
+        self._out: Optional[dict[int, dict[str, list[Edge]]]] = None
+        self._in: Optional[dict[int, dict[str, list[Edge]]]] = None
+        # closure capture records: (declaration Node, capturing method Node)
+        self.captures: list[tuple[Node, Node]] = []
+
+    def add_node(self, node: Node) -> Node:
+        if id(node) not in self._node_ids:
+            node.id = len(self.nodes)
+            self.nodes.append(node)
+            self._node_ids.add(id(node))
+        return node
+
+    def add_edge(self, src: Node, dst: Node, label: str, variable: str = ""):
+        self.add_node(src)
+        self.add_node(dst)
+        self.edges.append(Edge(src, dst, label, variable))
+        self._out = None
+        self._in = None
+
+    # --- traversal helpers ---------------------------------------------------
+    def _build_index(self):
+        if self._out is not None:
+            return
+        self._out = {}
+        self._in = {}
+        for e in self.edges:
+            self._out.setdefault(e.src.id, {}).setdefault(e.label, []).append(e)
+            self._in.setdefault(e.dst.id, {}).setdefault(e.label, []).append(e)
+
+    def out(self, node: Node, label: str) -> list[Edge]:
+        self._build_index()
+        return self._out.get(node.id, {}).get(label, [])
+
+    def inn(self, node: Node, label: str) -> list[Edge]:
+        self._build_index()
+        return self._in.get(node.id, {}).get(label, [])
+
+    def ast_children(self, node: Node) -> list[Node]:
+        kids = [e.dst for e in self.out(node, "AST")]
+        kids.sort(key=lambda n: n.order)
+        return kids
+
+    def ast_parent(self, node: Node) -> Optional[Node]:
+        es = self.inn(node, "AST")
+        return es[0].src if es else None
+
+    def ast_subtree(self, node: Node) -> list[Node]:
+        """All AST-reachable nodes incl. node (preorder)."""
+        out = []
+        stack = [node]
+        while stack:
+            cur = stack.pop()
+            out.append(cur)
+            stack.extend(reversed(self.ast_children(cur)))
+        return out
+
+    def arguments(self, call: Node) -> list[Node]:
+        args = [e.dst for e in self.out(call, "ARGUMENT")]
+        args.sort(key=lambda n: (n.argument_index, n.order))
+        return args
+
+    def argument(self, call: Node, i: int) -> Optional[Node]:
+        for a in self.arguments(call):
+            if a.argument_index == i:
+                return a
+        return None
+
+    def receiver(self, call: Node) -> Optional[Node]:
+        es = self.out(call, "RECEIVER")
+        return es[0].dst if es else None
+
+    def in_call(self, expr: Node) -> Optional[Node]:
+        """The call this expression is an argument of (via ARGUMENT edge in)."""
+        es = self.inn(expr, "ARGUMENT")
+        for e in es:
+            if e.src.label == "CALL":
+                return e.src
+        return None
+
+    def parent_expression(self, node: Node) -> Optional[Node]:
+        """ExpressionMethods._parentExpression (skips member-access calls)."""
+        cur = self.ast_parent(node)
+        while cur is not None:
+            if cur.label == "CALL" and cur.name in GENERIC_MEMBER_ACCESS_NAMES:
+                cur = self.ast_parent(cur)
+                continue
+            if cur.is_expression:
+                return cur
+            return None
+        return None
+
+    def method_of(self, node: Node) -> Optional[Node]:
+        """Enclosing METHOD via AST parents."""
+        cur = node
+        while cur is not None and cur.label != "METHOD":
+            cur = self.ast_parent(cur)
+        return cur
+
+    def methods(self) -> list[Node]:
+        return [n for n in self.nodes if n.label == "METHOD"]
+
+    def method_return(self, method: Node) -> Node:
+        for c in self.ast_children(method):
+            if c.label == "METHOD_RETURN":
+                return c
+        raise KeyError(f"no METHOD_RETURN for {method}")
+
+    def parameters(self, method: Node) -> list[Node]:
+        ps = [c for c in self.ast_children(method) if c.label == "METHOD_PARAMETER_IN"]
+        ps.sort(key=lambda p: p.index)
+        return ps
+
+    def param_out(self, param_in: Node) -> Optional[Node]:
+        for e in self.out(param_in, "PARAMETER_LINK"):
+            return e.dst
+        return None
+
+    def statement(self, node: Node) -> Node:
+        """AstNodeMethods.statement semantics (AstNodeMethods.scala:113-143)."""
+        n = node
+        if n.label in ("IDENTIFIER", "METHOD_REF", "TYPE_REF", "LITERAL"):
+            pe = self.parent_expression(n)
+            return pe if pe is not None else n
+        if n.label == "MEMBER":
+            return n
+        if n.label == "METHOD_PARAMETER_IN":
+            return self.method_of(n)
+        if n.label == "METHOD_PARAMETER_OUT":
+            return self.method_return(self.method_of(n))
+        if n.label == "CALL" and n.name in GENERIC_MEMBER_ACCESS_NAMES:
+            pe = self.parent_expression(n)
+            return pe if pe is not None else n
+        if n.label in ("CALL", "METHOD_RETURN"):
+            return n
+        if n.label == "BLOCK":
+            last = None
+            for c in self.ast_children(n):
+                if c.is_expression and c.label not in ("LOCAL",):
+                    last = c
+            if last is not None:
+                if last.label in ("IDENTIFIER", "METHOD_REF", "TYPE_REF", "LITERAL"):
+                    return last
+                return self.statement(last) if last.label == "BLOCK" else last
+            return n
+        return n
+
+    def repr_of(self, node: Node) -> str:
+        """AstNodeMethods.repr."""
+        if node.label == "METHOD":
+            return node.name
+        if node.label == "MEMBER":
+            return node.name
+        return node.code

@@ -1,0 +1,148 @@
+"""Byte-offset-preserving <script>/EJS extraction.
+
+Replicates the semantics of the reference's EJS/HTML preprocessing
+(joern-cli/frontends/jssrc2cpg/src/main/scala/io/joern/jssrc2cpg/
+preprocessing/EjsPreprocessor.scala:19-96): everything that is not JS is
+replaced by equal-length whitespace (newlines preserved), so the extracted
+script text has the SAME length and line/column positions as the raw page —
+the "byte-identical extracted text per url" invariant (BASELINE.json
+input_hint).  Fresh Python implementation; behavior, not code, is ported.
+
+Spark surface: `extract_scripts_udf` — an Arrow-batched pandas UDF over the
+`html` binary column (never a per-row Python UDF).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+COMMENT_TAG = "<%#"
+TAG_GROUPS_RE = re.compile(r"(<%[=\-_#]?)([\s\S]*?)([-_#]?%>)")
+SCRIPT_GROUPS_RE = re.compile(r"(<script>)([\s\S]*?)(</script>)")
+OPENING_TAGS = ["<%#", "<%=", "<%-", "<%_"]
+CLOSING_TAGS = ["-%>", "_%>", "#%>", "%>"]
+TAGS = OPENING_TAGS + CLOSING_TAGS
+TAG_SPACES = {t: " " * len(t) for t in TAGS}
+OPENING_TAG_REPL = [("'" + t, '"' + " " * (len(t) - 1)) for t in OPENING_TAGS]
+CLOSING_TAG_REPL = [(t + "'", " " * (len(t) - 1) + '"') for t in CLOSING_TAGS]
+OUTPUT_TAGS = {"<%=", "<%-"}
+FAKE_OUTPUT_CALL = "ap"  # 2-char identifier so the parser sees a call
+
+
+def _strip_script_tag(code: str) -> str:
+    """EjsPreprocessor.stripScriptTag semantics: <script> → '<%' + 6 spaces,
+    </script> → '%>' + 7 spaces (length-preserving), and EJS tags inside
+    original script blocks neutralized."""
+    x = code.replace("<script>", "<%      ").replace("</script>", "%>       ")
+    for ma in SCRIPT_GROUPS_RE.finditer(code):
+        script_block = ma.group(2)
+        for mat in TAG_GROUPS_RE.finditer(script_block):
+            if mat.group(1) == "<%" and mat.group(3) == "-%>":
+                script_block = script_block.replace(mat.group(0), " " * len(mat.group(0)))
+        for search, repl in OPENING_TAG_REPL:
+            script_block = script_block.replace(search, repl)
+        for search, repl in CLOSING_TAG_REPL:
+            script_block = script_block.replace(search, repl)
+        for tag, spaces in TAG_SPACES.items():
+            script_block = script_block.replace(tag, spaces)
+        x = x.replace(ma.group(2), script_block)
+    return x
+
+
+def _needs_semicolon(code: str) -> bool:
+    t = code.strip()
+    return not (t.endswith("{") or t.endswith("}") or t.endswith(";"))
+
+
+def preprocess_ejs(code: str) -> str:
+    """EjsPreprocessor.preprocess semantics: keep characters inside EJS tag
+    bodies (plus all newlines), blank everything else; rewrite output tags
+    (<%= / <%-) into `ap(...)` calls; terminate scriptlets with `;`.
+    Output length == input length."""
+    without_script = _strip_script_tag(code)
+    matches = list(TAG_GROUPS_RE.finditer(without_script))
+
+    positions: list[tuple[int, int]] = []
+    for ma in matches:
+        if ma.group(1) == COMMENT_TAG:
+            continue
+        if ma.group(2).strip().startswith("include "):
+            continue
+        positions.append((ma.start() + len(ma.group(1)), ma.end() - len(ma.group(3))))
+
+    out = []
+    pos_idx = 0
+    for index, ch in enumerate(without_script):
+        while pos_idx < len(positions) and index >= positions[pos_idx][1]:
+            pos_idx += 1
+        inside = pos_idx < len(positions) and index >= positions[pos_idx][0]
+        out.append(ch if (ch in "\n\r" or inside) else " ")
+
+    for ma in matches:
+        if ma.group(1) == COMMENT_TAG or ma.group(2).strip().startswith("include "):
+            continue
+        if ma.group(1) in OUTPUT_TAGS:
+            out[ma.start()] = FAKE_OUTPUT_CALL[0]
+            out[ma.start() + 1] = FAKE_OUTPUT_CALL[1]
+            out[ma.start() + 2] = "("
+            close_start = ma.end() - len(ma.group(3))
+            out[close_start] = ")"
+            out[close_start + 1] = ";"
+        elif _needs_semicolon(ma.group(2)):
+            close_start = ma.end() - len(ma.group(3))
+            out[close_start] = ";"
+
+    return "".join(out)
+
+
+def extract_script_text(html: str) -> str:
+    """HTML page → JS-only text of identical length: <script> bodies kept
+    verbatim, tags and all non-script content blanked (newlines kept).
+
+    This is the plain-HTML analog of the EJS pipeline above (the reference
+    routes .ejs/.vue through preprocess; plain <script> pages reduce to the
+    keep-body/blank-rest rule with the same length-preservation contract).
+    """
+    bodies = [(m.start(2), m.end(2)) for m in SCRIPT_GROUPS_RE.finditer(html)]
+    out = []
+    pos_idx = 0
+    for index, ch in enumerate(html):
+        while pos_idx < len(bodies) and index >= bodies[pos_idx][1]:
+            pos_idx += 1
+        inside = pos_idx < len(bodies) and index >= bodies[pos_idx][0]
+        out.append(ch if (ch in "\n\r" or inside) else " ")
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Spark surface (Arrow-batched)
+# ---------------------------------------------------------------------------
+
+def extract_scripts_udf():
+    """Arrow-batched UDF: html binary → length-preserving JS text (UTF-8).
+
+    Factory (not a module-level decorator): pandas_udf needs an active
+    SparkSession to parse its return type, and this module must stay
+    importable without one (driver contract / pure-Python tests).
+    """
+
+    @F.pandas_udf("string")
+    def _udf(html: pd.Series) -> pd.Series:
+        return html.map(
+            lambda b: extract_script_text(bytes(b).decode("utf-8", errors="replace"))
+            if b is not None
+            else None
+        )
+
+    return _udf
+
+
+def preprocess_ejs_udf():
+    @F.pandas_udf("string")
+    def _udf(src: pd.Series) -> pd.Series:
+        return src.map(lambda s: preprocess_ejs(s) if s is not None else None)
+
+    return _udf

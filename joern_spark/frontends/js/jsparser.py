@@ -1,0 +1,1076 @@
+"""Pure-Python ECMAScript-subset parser producing Babel-shaped AST dicts.
+
+Replaces the reference's external `astgen` (Babel) subprocess
+(jssrc2cpg/.../utils/AstGenRunner.scala:240-300): each node is a dict with
+`type`, `start`, `end` (absolute char offsets) and Babel-compatible field
+names, so the CPG lowering can follow the reference's BabelNodeInfo contract
+(BabelJsonParser.scala:10-50) without a JS runtime.  Fresh implementation —
+grammar coverage targets the constructs exercised by the reference's test
+suites (functions, var/let/const, destructuring, classes (basic), control
+flow, calls/members/ops, arrows, templates, spread/rest).
+
+Runs inside Arrow-batched UDFs — must be dependency-free and fast enough
+for ~KB-sized scripts.
+"""
+
+from __future__ import annotations
+
+KEYWORDS = {
+    "var", "let", "const", "function", "return", "if", "else", "while", "do",
+    "for", "in", "of", "new", "typeof", "instanceof", "void", "delete",
+    "null", "true", "false", "this", "class", "extends", "static", "super",
+    "break", "continue", "switch", "case", "default", "throw", "try",
+    "catch", "finally", "import", "export", "from", "as", "await", "yield",
+}
+
+PUNCT = [
+    ">>>=", "...", "===", "!==", "**=", "<<=", ">>=", ">>>", "&&=", "||=", "??=",
+    "=>", "==", "!=", "<=", ">=", "&&", "||", "??", "++", "--", "+=", "-=",
+    "*=", "/=", "%=", "&=", "|=", "^=", "**", "<<", ">>", "?.",
+    "{", "}", "(", ")", "[", "]", ";", ",", "<", ">", "+", "-", "*", "/",
+    "%", "&", "|", "^", "!", "~", "?", ":", "=", ".", "@",
+]
+
+ID_START = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_$")
+ID_CONT = ID_START | set("0123456789")
+
+
+class Token:
+    __slots__ = ("kind", "value", "start", "end", "nl_before")
+
+    def __init__(self, kind, value, start, end, nl_before):
+        self.kind = kind  # id | num | str | template | regex | punct | kw | eof
+        self.value = value
+        self.start = start
+        self.end = end
+        self.nl_before = nl_before
+
+    def __repr__(self):  # pragma: no cover
+        return f"Token({self.kind},{self.value!r}@{self.start})"
+
+
+class ParseError(Exception):
+    pass
+
+
+def tokenize(src: str) -> list[Token]:
+    toks: list[Token] = []
+    i = 0
+    n = len(src)
+    nl = False
+
+    def prev_significant():
+        return toks[-1] if toks else None
+
+    while i < n:
+        c = src[i]
+        if c in " \t\r\f\v":
+            i += 1
+            continue
+        if c == "\n":
+            nl = True
+            i += 1
+            continue
+        if c == "/" and i + 1 < n and src[i + 1] == "/":
+            j = src.find("\n", i)
+            i = n if j == -1 else j
+            continue
+        if c == "/" and i + 1 < n and src[i + 1] == "*":
+            j = src.find("*/", i + 2)
+            if "\n" in src[i : (j if j != -1 else n)]:
+                nl = True
+            i = n if j == -1 else j + 2
+            continue
+        start = i
+        if c in ID_START:
+            i += 1
+            while i < n and src[i] in ID_CONT:
+                i += 1
+            word = src[start:i]
+            kind = "kw" if word in KEYWORDS else "id"
+            toks.append(Token(kind, word, start, i, nl))
+            nl = False
+            continue
+        if c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit()):
+            i += 1
+            if c == "0" and i < n and src[i] in "xXoObB":
+                i += 1
+                while i < n and (src[i] in ID_CONT):
+                    i += 1
+            else:
+                while i < n and (src[i].isdigit() or src[i] in ".eE" or
+                                 (src[i] in "+-" and src[i - 1] in "eE")):
+                    i += 1
+                while i < n and src[i] in ID_CONT:  # bigint suffix etc.
+                    i += 1
+            toks.append(Token("num", src[start:i], start, i, nl))
+            nl = False
+            continue
+        if c in "'\"":
+            quote = c
+            i += 1
+            while i < n and src[i] != quote:
+                if src[i] == "\\":
+                    i += 1
+                i += 1
+            i = min(i + 1, n)
+            toks.append(Token("str", src[start:i], start, i, nl))
+            nl = False
+            continue
+        if c == "`":
+            # template literal: tokenized whole (with nested ${} scanning)
+            i += 1
+            depth = 0
+            while i < n:
+                if src[i] == "\\":
+                    i += 2
+                    continue
+                if src[i] == "`" and depth == 0:
+                    i += 1
+                    break
+                if src[i] == "$" and i + 1 < n and src[i + 1] == "{":
+                    depth += 1
+                    i += 2
+                    continue
+                if src[i] == "}" and depth > 0:
+                    depth -= 1
+                i += 1
+            toks.append(Token("template", src[start:i], start, i, nl))
+            nl = False
+            continue
+        if c == "/":
+            # regex vs division: regex if prev token can't end an expression
+            prev = prev_significant()
+            regex_ok = prev is None or (
+                prev.kind == "punct" and prev.value not in (")", "]", "}")
+            ) or (prev.kind == "kw" and prev.value not in ("this", "null", "true", "false", "super"))
+            if regex_ok:
+                j = i + 1
+                in_class = False
+                while j < n:
+                    if src[j] == "\\":
+                        j += 2
+                        continue
+                    if src[j] == "[":
+                        in_class = True
+                    elif src[j] == "]":
+                        in_class = False
+                    elif src[j] == "/" and not in_class:
+                        break
+                    elif src[j] == "\n":
+                        break
+                    j += 1
+                if j < n and src[j] == "/":
+                    j += 1
+                    while j < n and src[j] in ID_CONT:
+                        j += 1
+                    toks.append(Token("regex", src[start:j], start, j, nl))
+                    nl = False
+                    i = j
+                    continue
+        for p in PUNCT:
+            if src.startswith(p, i):
+                # `?.` followed by digit is `?` then `.`(decimal) — ignore edge case
+                toks.append(Token("punct", p, start, i + len(p), nl))
+                i += len(p)
+                break
+        else:
+            # Unknown char: skip it
+            i += 1
+            continue
+        nl = False
+    toks.append(Token("eof", "", n, n, True))
+    return toks
+
+
+ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", "%=", "**=", "&=", "|=", "^=",
+              "<<=", ">>=", ">>>=", "&&=", "||=", "??="}
+
+# binary operator precedence (higher binds tighter)
+BIN_PREC = {
+    "??": 1,
+    "||": 2, "&&": 3, "|": 4, "^": 5, "&": 6,
+    "==": 7, "!=": 7, "===": 7, "!==": 7,
+    "<": 8, ">": 8, "<=": 8, ">=": 8, "in": 8, "instanceof": 8,
+    "<<": 9, ">>": 9, ">>>": 9,
+    "+": 10, "-": 10,
+    "*": 11, "/": 11, "%": 11,
+    "**": 12,
+}
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.src = src
+        self.toks = tokenize(src)
+        self.pos = 0
+
+    # --- token helpers -----------------------------------------------------
+    def peek(self, k=0) -> Token:
+        return self.toks[min(self.pos + k, len(self.toks) - 1)]
+
+    def at(self, value, kind=None) -> bool:
+        t = self.peek()
+        return t.value == value and (kind is None or t.kind == kind)
+
+    def eat(self, value=None, kind=None) -> Token:
+        t = self.peek()
+        if value is not None and t.value != value:
+            raise ParseError(f"expected {value!r} got {t.value!r} at {t.start}")
+        if kind is not None and t.kind != kind:
+            raise ParseError(f"expected {kind} got {t.kind} at {t.start}")
+        self.pos += 1
+        return t
+
+    def opt(self, value) -> bool:
+        if self.at(value):
+            self.pos += 1
+            return True
+        return False
+
+    def node(self, typ, start, end, **fields):
+        d = {"type": typ, "start": start, "end": end}
+        d.update(fields)
+        return d
+
+    def semicolon(self):
+        """ASI: consume `;` if present; else accept `}`/EOF/newline-before."""
+        if self.opt(";"):
+            return
+        t = self.peek()
+        if t.kind == "eof" or t.value == "}" or t.nl_before:
+            return
+        raise ParseError(f"expected ; at {t.start} (got {t.value!r})")
+
+    # --- entry -------------------------------------------------------------
+    def parse_program(self):
+        body = []
+        start = self.peek().start
+        while self.peek().kind != "eof":
+            before = self.pos
+            stmt = self.parse_statement()
+            if stmt is not None:
+                body.append(stmt)
+            if self.pos == before:  # safety: never loop forever
+                self.pos += 1
+        end = self.peek().end
+        return self.node("Program", start if body else 0, end, body=body)
+
+    # --- statements --------------------------------------------------------
+    def parse_statement(self):
+        t = self.peek()
+        v, k = t.value, t.kind
+        if k == "punct" and v == "{":
+            return self.parse_block()
+        if k == "punct" and v == ";":
+            self.eat(";")
+            return self.node("EmptyStatement", t.start, t.end)
+        if k == "kw":
+            if v in ("var", "let", "const"):
+                # `let` as identifier is ignored; fine for our corpus
+                n = self.parse_variable_declaration()
+                self.semicolon()
+                return n
+            if v == "function":
+                return self.parse_function(is_declaration=True)
+            if v == "class":
+                return self.parse_class(is_declaration=True)
+            if v == "if":
+                return self.parse_if()
+            if v == "while":
+                return self.parse_while()
+            if v == "do":
+                return self.parse_do_while()
+            if v == "for":
+                return self.parse_for()
+            if v == "return":
+                self.eat("return")
+                arg = None
+                nt = self.peek()
+                if not (nt.value in (";", "}") or nt.kind == "eof" or nt.nl_before):
+                    arg = self.parse_expression()
+                end = arg["end"] if arg else t.end
+                self.semicolon()
+                return self.node("ReturnStatement", t.start, end, argument=arg)
+            if v == "break" or v == "continue":
+                self.eat(v)
+                label = None
+                nt = self.peek()
+                if nt.kind == "id" and not nt.nl_before:
+                    label = self.parse_identifier()
+                typ = "BreakStatement" if v == "break" else "ContinueStatement"
+                end = label["end"] if label else t.end
+                self.semicolon()
+                return self.node(typ, t.start, end, label=label)
+            if v == "throw":
+                self.eat("throw")
+                arg = self.parse_expression()
+                self.semicolon()
+                return self.node("ThrowStatement", t.start, arg["end"], argument=arg)
+            if v == "switch":
+                return self.parse_switch()
+            if v == "try":
+                return self.parse_try()
+            if v in ("import", "export"):
+                return self.parse_module_decl()
+        if k == "id" and self.peek(1).value == ":" and self.peek(1).kind == "punct":
+            label = self.parse_identifier()
+            self.eat(":")
+            body = self.parse_statement()
+            return self.node("LabeledStatement", t.start, body["end"], label=label, body=body)
+        # expression statement
+        expr = self.parse_expression()
+        self.semicolon()
+        return self.node("ExpressionStatement", expr["start"], expr["end"], expression=expr)
+
+    def parse_block(self):
+        lb = self.eat("{")
+        body = []
+        while not self.at("}") and self.peek().kind != "eof":
+            before = self.pos
+            body.append(self.parse_statement())
+            if self.pos == before:
+                self.pos += 1
+        rb = self.eat("}")
+        return self.node("BlockStatement", lb.start, rb.end, body=body)
+
+    def parse_variable_declaration(self):
+        kw = self.eat()
+        decls = []
+        while True:
+            decl_id = self.parse_binding_target()
+            init = None
+            if self.opt("="):
+                init = self.parse_assignment()
+            end = init["end"] if init else decl_id["end"]
+            decls.append(
+                self.node("VariableDeclarator", decl_id["start"], end, id=decl_id, init=init)
+            )
+            if not self.opt(","):
+                break
+        return self.node(
+            "VariableDeclaration", kw.start, decls[-1]["end"], kind=kw.value, declarations=decls
+        )
+
+    def parse_binding_target(self):
+        t = self.peek()
+        if t.value == "{":
+            return self.parse_object_pattern()
+        if t.value == "[":
+            return self.parse_array_pattern()
+        return self.parse_identifier()
+
+    def parse_object_pattern(self):
+        lb = self.eat("{")
+        props = []
+        while not self.at("}"):
+            pt = self.peek()
+            if pt.value == "...":
+                self.eat("...")
+                arg = self.parse_binding_target()
+                props.append(self.node("RestElement", pt.start, arg["end"], argument=arg))
+            else:
+                key = self.parse_property_key()
+                computed = False
+                if self.opt(":"):
+                    value = self.parse_binding_target()
+                elif self.opt("="):
+                    dflt = self.parse_assignment()
+                    value = self.node("AssignmentPattern", key["start"], dflt["end"],
+                                      left=key, right=dflt)
+                else:
+                    value = key
+                props.append(
+                    self.node("ObjectProperty", key["start"], value["end"],
+                              key=key, value=value, computed=computed, shorthand=value is key)
+                )
+            if not self.opt(","):
+                break
+        rb = self.eat("}")
+        return self.node("ObjectPattern", lb.start, rb.end, properties=props)
+
+    def parse_array_pattern(self):
+        lb = self.eat("[")
+        elems = []
+        while not self.at("]"):
+            if self.at(","):
+                self.eat(",")
+                elems.append(None)
+                continue
+            pt = self.peek()
+            if pt.value == "...":
+                self.eat("...")
+                arg = self.parse_binding_target()
+                elems.append(self.node("RestElement", pt.start, arg["end"], argument=arg))
+            else:
+                target = self.parse_binding_target()
+                if self.opt("="):
+                    dflt = self.parse_assignment()
+                    target = self.node("AssignmentPattern", target["start"], dflt["end"],
+                                       left=target, right=dflt)
+                elems.append(target)
+            if not self.opt(","):
+                break
+        rb = self.eat("]")
+        return self.node("ArrayPattern", lb.start, rb.end, elements=elems)
+
+    def parse_property_key(self):
+        t = self.peek()
+        if t.kind in ("str",):
+            self.pos += 1
+            return self.node("StringLiteral", t.start, t.end, value=_strip_str(t.value))
+        if t.kind == "num":
+            self.pos += 1
+            return self.node("NumericLiteral", t.start, t.end, value=t.value)
+        if t.value == "[":
+            self.eat("[")
+            e = self.parse_assignment()
+            self.eat("]")
+            return e
+        tok = self.eat()
+        return self.node("Identifier", tok.start, tok.end, name=tok.value)
+
+    def parse_function(self, is_declaration: bool):
+        kw = self.eat("function")
+        self.opt("*")
+        fid = None
+        if self.peek().kind == "id":
+            fid = self.parse_identifier()
+        params = self.parse_params()
+        body = self.parse_block()
+        typ = "FunctionDeclaration" if is_declaration and fid else "FunctionExpression"
+        return self.node(typ, kw.start, body["end"], id=fid, params=params, body=body,
+                         generator=False, **{"async": False})
+
+    def parse_params(self):
+        self.eat("(")
+        params = []
+        while not self.at(")"):
+            pt = self.peek()
+            if pt.value == "...":
+                self.eat("...")
+                arg = self.parse_binding_target()
+                params.append(self.node("RestElement", pt.start, arg["end"], argument=arg))
+            else:
+                p = self.parse_binding_target()
+                if self.opt("="):
+                    dflt = self.parse_assignment()
+                    p = self.node("AssignmentPattern", p["start"], dflt["end"], left=p, right=dflt)
+                params.append(p)
+            if not self.opt(","):
+                break
+        self.eat(")")
+        return params
+
+    def parse_class(self, is_declaration: bool):
+        kw = self.eat("class")
+        cid = self.parse_identifier() if self.peek().kind == "id" else None
+        superclass = None
+        if self.opt("extends"):
+            superclass = self.parse_unary()
+        lb = self.eat("{")
+        members = []
+        while not self.at("}") and self.peek().kind != "eof":
+            if self.opt(";"):
+                continue
+            mstart = self.peek().start
+            static = False
+            if self.at("static") and self.peek(1).value not in ("(", "="):
+                self.eat("static")
+                static = True
+            kind = "method"
+            if self.peek().value in ("get", "set") and self.peek(1).value not in ("(", "=", ";", "}"):
+                kind = self.eat().value
+            key = self.parse_property_key()
+            if self.at("("):
+                params = self.parse_params()
+                body = self.parse_block()
+                if key.get("name") == "constructor":
+                    kind = "constructor"
+                members.append(
+                    self.node("ClassMethod", mstart, body["end"], key=key, params=params,
+                              body=body, kind=kind, static=static, computed=False)
+                )
+            else:
+                value = None
+                if self.opt("="):
+                    value = self.parse_assignment()
+                end = value["end"] if value else key["end"]
+                self.semicolon()
+                members.append(
+                    self.node("ClassProperty", mstart, end, key=key, value=value,
+                              static=static, computed=False)
+                )
+        rb = self.eat("}")
+        body = self.node("ClassBody", lb.start, rb.end, body=members)
+        typ = "ClassDeclaration" if is_declaration and cid else "ClassExpression"
+        return self.node(typ, kw.start, rb.end, id=cid, superClass=superclass, body=body)
+
+    def parse_if(self):
+        kw = self.eat("if")
+        self.eat("(")
+        test = self.parse_expression()
+        self.eat(")")
+        consequent = self.parse_statement()
+        alternate = None
+        if self.opt("else"):
+            alternate = self.parse_statement()
+        end = (alternate or consequent)["end"]
+        return self.node("IfStatement", kw.start, end, test=test,
+                         consequent=consequent, alternate=alternate)
+
+    def parse_while(self):
+        kw = self.eat("while")
+        self.eat("(")
+        test = self.parse_expression()
+        self.eat(")")
+        body = self.parse_statement()
+        return self.node("WhileStatement", kw.start, body["end"], test=test, body=body)
+
+    def parse_do_while(self):
+        kw = self.eat("do")
+        body = self.parse_statement()
+        self.eat("while")
+        self.eat("(")
+        test = self.parse_expression()
+        self.eat(")")
+        end = self.peek().start
+        self.opt(";")
+        return self.node("DoWhileStatement", kw.start, test["end"] + 1, test=test, body=body)
+
+    def parse_for(self):
+        kw = self.eat("for")
+        self.eat("(")
+        init = None
+        if not self.at(";"):
+            if self.peek().value in ("var", "let", "const"):
+                init = self.parse_variable_declaration()
+            else:
+                init = self.parse_expression(no_in=True)
+            if self.peek().value in ("in", "of"):
+                of_or_in = self.eat().value
+                right = self.parse_expression()
+                self.eat(")")
+                body = self.parse_statement()
+                typ = "ForInStatement" if of_or_in == "in" else "ForOfStatement"
+                return self.node(typ, kw.start, body["end"], left=init, right=right, body=body)
+        self.eat(";")
+        test = None if self.at(";") else self.parse_expression()
+        self.eat(";")
+        update = None if self.at(")") else self.parse_expression()
+        self.eat(")")
+        body = self.parse_statement()
+        return self.node("ForStatement", kw.start, body["end"], init=init, test=test,
+                         update=update, body=body)
+
+    def parse_switch(self):
+        kw = self.eat("switch")
+        self.eat("(")
+        disc = self.parse_expression()
+        self.eat(")")
+        self.eat("{")
+        cases = []
+        while not self.at("}") and self.peek().kind != "eof":
+            ct = self.peek()
+            if self.opt("case"):
+                test = self.parse_expression()
+            else:
+                self.eat("default")
+                test = None
+            self.eat(":")
+            consequent = []
+            while not (self.at("case") or self.at("default") or self.at("}")):
+                consequent.append(self.parse_statement())
+            end = consequent[-1]["end"] if consequent else ct.end
+            cases.append(self.node("SwitchCase", ct.start, end, test=test, consequent=consequent))
+        rb = self.eat("}")
+        return self.node("SwitchStatement", kw.start, rb.end, discriminant=disc, cases=cases)
+
+    def parse_try(self):
+        kw = self.eat("try")
+        block = self.parse_block()
+        handler = None
+        finalizer = None
+        if self.at("catch"):
+            ct = self.eat("catch")
+            param = None
+            if self.opt("("):
+                param = self.parse_binding_target()
+                self.eat(")")
+            cbody = self.parse_block()
+            handler = self.node("CatchClause", ct.start, cbody["end"], param=param, body=cbody)
+        if self.opt("finally"):
+            finalizer = self.parse_block()
+        end = (finalizer or (handler or {"end": block["end"]}))["end"]
+        return self.node("TryStatement", kw.start, end, block=block, handler=handler,
+                         finalizer=finalizer)
+
+    def parse_module_decl(self):
+        """Loose import/export handling: imports become ImportDeclaration with
+        specifiers; `export` unwraps to the inner declaration (reference
+        lowers these to require()/exports assignments — see astlower)."""
+        t = self.peek()
+        if t.value == "import":
+            self.eat("import")
+            specifiers = []
+            source = None
+            if self.peek().kind == "str":
+                st = self.eat()
+                source = self.node("StringLiteral", st.start, st.end, value=_strip_str(st.value))
+            else:
+                # default / named / namespace
+                if self.peek().kind == "id":
+                    local = self.parse_identifier()
+                    specifiers.append(self.node("ImportDefaultSpecifier", local["start"],
+                                                local["end"], local=local))
+                    self.opt(",")
+                if self.opt("*"):
+                    self.eat("as")
+                    local = self.parse_identifier()
+                    specifiers.append(self.node("ImportNamespaceSpecifier", local["start"],
+                                                local["end"], local=local))
+                elif self.at("{"):
+                    self.eat("{")
+                    while not self.at("}"):
+                        imported = self.parse_identifier()
+                        local = imported
+                        if self.opt("as"):
+                            local = self.parse_identifier()
+                        specifiers.append(self.node("ImportSpecifier", imported["start"],
+                                                    local["end"], imported=imported, local=local))
+                        if not self.opt(","):
+                            break
+                    self.eat("}")
+                self.eat("from")
+                st = self.eat(kind="str")
+                source = self.node("StringLiteral", st.start, st.end, value=_strip_str(st.value))
+            end = source["end"] if source else t.end
+            self.semicolon()
+            return self.node("ImportDeclaration", t.start, end,
+                             specifiers=specifiers, source=source)
+        # export
+        self.eat("export")
+        if self.opt("default"):
+            decl = self.parse_statement()
+            return self.node("ExportDefaultDeclaration", t.start, decl["end"], declaration=decl)
+        if self.at("{"):
+            # export { a, b } [from '...'] — skip specifiers, no lowering
+            self.eat("{")
+            while not self.at("}") and self.peek().kind != "eof":
+                self.pos += 1
+            self.eat("}")
+            if self.opt("from"):
+                self.eat(kind="str")
+            self.semicolon()
+            return self.node("EmptyStatement", t.start, t.end)
+        decl = self.parse_statement()
+        return self.node("ExportNamedDeclaration", t.start, decl["end"], declaration=decl)
+
+    # --- expressions ---------------------------------------------------------
+    def parse_expression(self, no_in=False):
+        first = self.parse_assignment(no_in=no_in)
+        if not self.at(","):
+            return first
+        exprs = [first]
+        while self.opt(","):
+            exprs.append(self.parse_assignment(no_in=no_in))
+        return self.node("SequenceExpression", first["start"], exprs[-1]["end"],
+                         expressions=exprs)
+
+    def _try_arrow(self):
+        """Detect arrow functions: `ident =>` or `( params ) =>`."""
+        t = self.peek()
+        if t.kind == "id" and self.peek(1).value == "=>":
+            start_pos = self.pos
+            param = self.parse_identifier()
+            self.eat("=>")
+            return self._finish_arrow(t.start, [param])
+        if t.value == "(":
+            # scan ahead for matching ) followed by =>
+            depth = 0
+            j = self.pos
+            while j < len(self.toks):
+                v = self.toks[j].value
+                if v == "(":
+                    depth += 1
+                elif v == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j + 1 < len(self.toks) and self.toks[j + 1].value == "=>":
+                params = self.parse_params()
+                self.eat("=>")
+                return self._finish_arrow(t.start, params)
+        return None
+
+    def _finish_arrow(self, start, params):
+        if self.at("{"):
+            body = self.parse_block()
+        else:
+            body = self.parse_assignment()
+        return self.node("ArrowFunctionExpression", start, body["end"], id=None,
+                         params=params, body=body, generator=False, **{"async": False})
+
+    def parse_assignment(self, no_in=False):
+        arrow = self._try_arrow()
+        if arrow is not None:
+            return arrow
+        left = self.parse_conditional(no_in=no_in)
+        t = self.peek()
+        if t.kind == "punct" and t.value in ASSIGN_OPS:
+            self.eat()
+            right = self.parse_assignment(no_in=no_in)
+            left2 = _to_pattern(left)
+            return self.node("AssignmentExpression", left["start"], right["end"],
+                             operator=t.value, left=left2, right=right)
+        return left
+
+    def parse_conditional(self, no_in=False):
+        test = self.parse_binary(0, no_in=no_in)
+        if self.at("?") and self.peek().value == "?":
+            self.eat("?")
+            consequent = self.parse_assignment()
+            self.eat(":")
+            alternate = self.parse_assignment(no_in=no_in)
+            return self.node("ConditionalExpression", test["start"], alternate["end"],
+                             test=test, consequent=consequent, alternate=alternate)
+        return test
+
+    def parse_binary(self, min_prec, no_in=False):
+        left = self.parse_unary()
+        while True:
+            t = self.peek()
+            op = t.value
+            if op == "in" and no_in:
+                break
+            if (t.kind == "punct" or (t.kind == "kw" and op in ("in", "instanceof"))) and op in BIN_PREC:
+                prec = BIN_PREC[op]
+                if prec < min_prec:
+                    break
+                self.eat()
+                # ** is right-assoc; others left
+                next_min = prec if op == "**" else prec + 1
+                right = self.parse_binary(next_min, no_in=no_in)
+                typ = "LogicalExpression" if op in ("&&", "||", "??") else "BinaryExpression"
+                left = self.node(typ, left["start"], right["end"], operator=op,
+                                 left=left, right=right)
+                continue
+            break
+        return left
+
+    def parse_unary(self):
+        t = self.peek()
+        if t.kind == "punct" and t.value in ("!", "~", "+", "-"):
+            self.eat()
+            arg = self.parse_unary()
+            return self.node("UnaryExpression", t.start, arg["end"], operator=t.value,
+                             argument=arg, prefix=True)
+        if t.kind == "kw" and t.value in ("typeof", "void", "delete", "await"):
+            self.eat()
+            arg = self.parse_unary()
+            if t.value == "await":
+                return self.node("AwaitExpression", t.start, arg["end"], argument=arg)
+            return self.node("UnaryExpression", t.start, arg["end"], operator=t.value,
+                             argument=arg, prefix=True)
+        if t.kind == "punct" and t.value in ("++", "--"):
+            self.eat()
+            arg = self.parse_unary()
+            return self.node("UpdateExpression", t.start, arg["end"], operator=t.value,
+                             argument=arg, prefix=True)
+        expr = self.parse_postfix()
+        return expr
+
+    def parse_postfix(self):
+        expr = self.parse_call_member()
+        t = self.peek()
+        if t.kind == "punct" and t.value in ("++", "--") and not t.nl_before:
+            self.eat()
+            return self.node("UpdateExpression", expr["start"], t.end, operator=t.value,
+                             argument=expr, prefix=False)
+        return expr
+
+    def parse_call_member(self):
+        t = self.peek()
+        if t.kind == "kw" and t.value == "new":
+            self.eat("new")
+            callee = self.parse_member_only()
+            args = []
+            end = callee["end"]
+            if self.at("("):
+                args, end = self.parse_args()
+            new_expr = self.node("NewExpression", t.start, end, callee=callee, arguments=args)
+            return self.parse_member_tail(new_expr)
+        expr = self.parse_primary()
+        return self.parse_member_tail(expr)
+
+    def parse_member_only(self):
+        """Member chain without call (for `new Foo.Bar(...)`)."""
+        expr = self.parse_primary()
+        while True:
+            if self.at("."):
+                self.eat(".")
+                prop = self.parse_identifier_name()
+                expr = self.node("MemberExpression", expr["start"], prop["end"], object=expr,
+                                 property=prop, computed=False)
+            elif self.at("["):
+                self.eat("[")
+                prop = self.parse_expression()
+                rb = self.eat("]")
+                expr = self.node("MemberExpression", expr["start"], rb.end, object=expr,
+                                 property=prop, computed=True)
+            else:
+                return expr
+
+    def parse_member_tail(self, expr):
+        while True:
+            if self.at(".") or self.at("?."):
+                self.eat()
+                prop = self.parse_identifier_name()
+                expr = self.node("MemberExpression", expr["start"], prop["end"], object=expr,
+                                 property=prop, computed=False)
+            elif self.at("["):
+                self.eat("[")
+                prop = self.parse_expression()
+                rb = self.eat("]")
+                expr = self.node("MemberExpression", expr["start"], rb.end, object=expr,
+                                 property=prop, computed=True)
+            elif self.at("("):
+                args, end = self.parse_args()
+                expr = self.node("CallExpression", expr["start"], end, callee=expr,
+                                 arguments=args)
+            elif self.peek().kind == "template":
+                tpl = self.parse_primary()
+                expr = self.node("TaggedTemplateExpression", expr["start"], tpl["end"],
+                                 tag=expr, quasi=tpl)
+            else:
+                return expr
+
+    def parse_args(self):
+        self.eat("(")
+        args = []
+        while not self.at(")"):
+            if self.at("..."):
+                st = self.eat("...")
+                arg = self.parse_assignment()
+                args.append(self.node("SpreadElement", st.start, arg["end"], argument=arg))
+            else:
+                args.append(self.parse_assignment())
+            if not self.opt(","):
+                break
+        rp = self.eat(")")
+        return args, rp.end
+
+    def parse_identifier(self):
+        t = self.eat(kind="id")
+        return self.node("Identifier", t.start, t.end, name=t.value)
+
+    def parse_identifier_name(self):
+        t = self.eat()
+        return self.node("Identifier", t.start, t.end, name=t.value)
+
+    def parse_primary(self):
+        t = self.peek()
+        if t.kind == "num":
+            self.eat()
+            return self.node("NumericLiteral", t.start, t.end, value=t.value)
+        if t.kind == "str":
+            self.eat()
+            return self.node("StringLiteral", t.start, t.end, value=_strip_str(t.value))
+        if t.kind == "template":
+            self.eat()
+            return self._template_node(t)
+        if t.kind == "regex":
+            self.eat()
+            return self.node("RegExpLiteral", t.start, t.end, pattern=t.value)
+        if t.kind == "kw":
+            if t.value == "true" or t.value == "false":
+                self.eat()
+                return self.node("BooleanLiteral", t.start, t.end, value=t.value == "true")
+            if t.value == "null":
+                self.eat()
+                return self.node("NullLiteral", t.start, t.end)
+            if t.value == "this":
+                self.eat()
+                return self.node("ThisExpression", t.start, t.end)
+            if t.value == "function":
+                return self.parse_function(is_declaration=False)
+            if t.value == "class":
+                return self.parse_class(is_declaration=False)
+            if t.value == "super":
+                self.eat()
+                return self.node("Super", t.start, t.end)
+            if t.value == "new":
+                return self.parse_call_member()
+            if t.value in ("of", "as", "from", "static", "await", "yield", "default"):
+                # contextual keywords usable as identifiers
+                self.eat()
+                return self.node("Identifier", t.start, t.end, name=t.value)
+        if t.kind == "id":
+            return self.parse_identifier()
+        if t.value == "(":
+            self.eat("(")
+            expr = self.parse_expression()
+            self.eat(")")
+            expr = dict(expr)
+            expr["extra_parenthesized"] = True
+            return expr
+        if t.value == "[":
+            self.eat("[")
+            elems = []
+            while not self.at("]"):
+                if self.at(","):
+                    self.eat(",")
+                    elems.append(None)
+                    continue
+                if self.at("..."):
+                    st = self.eat("...")
+                    arg = self.parse_assignment()
+                    elems.append(self.node("SpreadElement", st.start, arg["end"], argument=arg))
+                else:
+                    elems.append(self.parse_assignment())
+                if not self.opt(","):
+                    break
+            rb = self.eat("]")
+            return self.node("ArrayExpression", t.start, rb.end, elements=elems)
+        if t.value == "{":
+            return self.parse_object_expression()
+        if t.value == "<":
+            # JSX — not supported; consume until matching `>` and emit Unknown
+            depth = 0
+            start = t.start
+            while self.peek().kind != "eof":
+                v = self.eat().value
+                if v == "<":
+                    depth += 1
+                elif v == ">":
+                    depth -= 1
+                    if depth <= 0:
+                        break
+            return self.node("Unknown", start, self.peek().start)
+        raise ParseError(f"unexpected token {t.value!r} at {t.start}")
+
+    def parse_object_expression(self):
+        lb = self.eat("{")
+        props = []
+        while not self.at("}"):
+            pt = self.peek()
+            if pt.value == "...":
+                self.eat("...")
+                arg = self.parse_assignment()
+                props.append(self.node("SpreadElement", pt.start, arg["end"], argument=arg))
+            else:
+                kind = None
+                if pt.value in ("get", "set") and self.peek(1).value not in (",", ":", "(", "}"):
+                    kind = self.eat().value
+                key = self.parse_property_key()
+                computed = False
+                if self.at("("):
+                    params = self.parse_params()
+                    body = self.parse_block()
+                    props.append(self.node("ObjectMethod", key["start"], body["end"], key=key,
+                                           params=params, body=body, kind=kind or "method",
+                                           computed=computed))
+                elif self.opt(":"):
+                    value = self.parse_assignment()
+                    props.append(self.node("ObjectProperty", key["start"], value["end"], key=key,
+                                           value=value, computed=computed, shorthand=False))
+                else:
+                    props.append(self.node("ObjectProperty", key["start"], key["end"], key=key,
+                                           value=key, computed=computed, shorthand=True))
+            if not self.opt(","):
+                break
+        rb = self.eat("}")
+        return self.node("ObjectExpression", lb.start, rb.end, properties=props)
+
+    def _template_node(self, t: Token):
+        """Parse the template token's inside into quasis/expressions."""
+        raw = self.src[t.start + 1 : t.end - 1]
+        quasis = []
+        expressions = []
+        buf_start = 0
+        i = 0
+        while i < len(raw):
+            if raw[i] == "\\":
+                i += 2
+                continue
+            if raw[i] == "$" and i + 1 < len(raw) and raw[i + 1] == "{":
+                quasis.append((buf_start, i))
+                depth = 1
+                j = i + 2
+                while j < len(raw) and depth > 0:
+                    if raw[j] == "{":
+                        depth += 1
+                    elif raw[j] == "}":
+                        depth -= 1
+                    j += 1
+                inner = raw[i + 2 : j - 1]
+                sub = Parser(inner)
+                try:
+                    expr = sub.parse_expression()
+                    _shift_offsets(expr, t.start + 1 + i + 2)
+                except ParseError:
+                    expr = self.node("Unknown", t.start + 1 + i + 2, t.start + 1 + j - 1)
+                expressions.append(expr)
+                buf_start = j
+                i = j
+                continue
+            i += 1
+        quasis.append((buf_start, len(raw)))
+        base = t.start + 1
+        qnodes = []
+        for idx, (qs, qe) in enumerate(quasis):
+            qnodes.append(
+                self.node("TemplateElement", base + qs, base + qe,
+                          value={"raw": raw[qs:qe]}, tail=idx == len(quasis) - 1)
+            )
+        return self.node("TemplateLiteral", t.start, t.end, quasis=qnodes,
+                         expressions=expressions)
+
+
+def _strip_str(tok_text: str) -> str:
+    if len(tok_text) >= 2 and tok_text[0] in "'\"" and tok_text[-1] == tok_text[0]:
+        return tok_text[1:-1]
+    return tok_text
+
+
+def _to_pattern(node):
+    """Re-interpret an expression as a destructuring pattern (Babel does this
+    for `{a, b} = x`)."""
+    if node["type"] == "ObjectExpression":
+        props = []
+        for p in node.get("properties", []):
+            if p["type"] == "ObjectProperty":
+                q = dict(p)
+                q["value"] = _to_pattern(p["value"])
+                props.append(q)
+            else:
+                props.append(p)
+        out = dict(node)
+        out["type"] = "ObjectPattern"
+        out["properties"] = props
+        return out
+    if node["type"] == "ArrayExpression":
+        out = dict(node)
+        out["type"] = "ArrayPattern"
+        out["elements"] = [(_to_pattern(e) if e else None) for e in node.get("elements", [])]
+        return out
+    return node
+
+
+def _shift_offsets(node, delta):
+    if isinstance(node, dict):
+        if "start" in node:
+            node["start"] += delta
+        if "end" in node:
+            node["end"] += delta
+        for v in node.values():
+            _shift_offsets(v, delta)
+    elif isinstance(node, list):
+        for v in node:
+            _shift_offsets(v, delta)
+
+
+def parse(src: str) -> dict:
+    """Parse ES-subset source → Babel-shaped Program dict."""
+    return Parser(src).parse_program()
