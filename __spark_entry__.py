@@ -237,26 +237,92 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full training-pipeline pass over sf0.001 documents —
-    quality + language + fingerprint + exact-dup annotation in one plan.
-    (Upgraded to the CPG flow pipeline as the engine spine lands.)"""
+    """Flagship: the CPG pipeline end-to-end on sf0.001 — documents →
+    synthetic web pages with embedded JS → extract → per-document CPG →
+    taint-query scan → per-query finding counts."""
+    from joern_spark.query.scan import scan_findings
+    from joern_spark.sources.corpus import pages_from_documents
+
     sf_dir = "/root/testdata/sf0.001"
-    docs = load_table(spark, sf_dir, "documents")
-    q = text.quality_score(docs)
-    l = text.lang_id(docs).select("doc_id", "pred_lang")
-    fp = text.fingerprint(docs)
-    dups = dedup.exact_dedup(docs).select(
-        F.col("content_hash").alias("ch"), "survivor_doc_id", "n_dups"
-    )
+    docs = load_table(spark, sf_dir, "documents").limit(64)
+    # limit() collapses to one partition — spread the Arrow build work
+    pages = pages_from_documents(docs).repartition(spark.sparkContext.defaultParallelism)
+    findings = scan_findings(pages)
     return (
-        q.join(l, "doc_id")
-        .join(fp, "doc_id")
-        .join(dups, fp.content_hash == F.col("ch"))
-        .select(
-            "doc_id", "n_tokens", "quality_micro", "pred_lang",
-            "content_hash", "survivor_doc_id", "n_dups",
+        findings.groupBy("query_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_flagged"),
+            F.sum("n_matches").alias("n_matches"),
         )
+        .orderBy("query_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# CPG engine queries (rows-only checks — graph construction from JS is not
+# SQL-expressible; the pytest golden suite is the correctness oracle here)
+# ---------------------------------------------------------------------------
+
+def cpg_node_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label CPG node counts over pages derived from `documents`."""
+    from joern_spark.cpg.spark_build import build_cpg_tables
+    from joern_spark.sources.corpus import pages_from_documents
+
+    docs = load_table(spark, sf_dir, "documents").limit(128)
+    pages = pages_from_documents(docs).repartition(spark.sparkContext.defaultParallelism)
+    nodes, _edges = build_cpg_tables(pages)
+    return nodes.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def cpg_build_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan over pages derived from `documents` (rows-only)."""
+    from joern_spark.query.scan import scan_findings
+    from joern_spark.sources.corpus import pages_from_documents
+
+    docs = load_table(spark, sf_dir, "documents").limit(256)
+    pages = pages_from_documents(docs).repartition(spark.sparkContext.defaultParallelism)
+    findings = scan_findings(pages)
+    return (
+        findings.groupBy("query_name")
+        .agg(F.count(F.lit(1)).alias("n_docs_flagged"),
+             F.sum("n_matches").alias("n_matches"))
+    )
+
+
+def cpg_scan_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained-throughput flagship: 4096 synthetic pages → extract → CPG →
+    scan, sized to amortize worker startup (the north_star docs/sec metric;
+    bench.py divides 4096 by this query's wall time)."""
+    from joern_spark.query.scan import scan_findings
+    from joern_spark.sources.corpus import make_pages
+
+    pages = make_pages(spark, n_docs=4096, n_partitions=spark.sparkContext.defaultParallelism)
+    return (
+        scan_findings(pages)
+        .groupBy("query_name")
+        .agg(F.count(F.lit(1)).alias("n_docs_flagged"),
+             F.sum("n_matches").alias("n_matches"))
+    )
+
+
+def cpg_reachable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level reachability via iterative DataFrame self-joins over the
+    REACHING_DEF edge table (the north_star's scale-path operator)."""
+    from joern_spark.cpg.spark_build import build_cpg_tables
+    from joern_spark.dataflow.reachable import reachable_pairs
+    from joern_spark.sources.corpus import pages_from_documents
+
+    docs = load_table(spark, sf_dir, "documents").limit(64)
+    pages = pages_from_documents(docs).repartition(spark.sparkContext.defaultParallelism)
+    nodes, edges = build_cpg_tables(pages)
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    sources = nodes.where((F.col("label") == "IDENTIFIER") & (F.col("name") == "sz")) \
+        .select("url", "node_id")
+    sinks = nodes.where((F.col("label") == "CALL") & F.col("code").rlike("^read.*")) \
+        .select("url", "node_id")
+    pairs = reachable_pairs(edges, sources, sinks)
+    return pairs.groupBy("url").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -284,6 +350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup_pairs": sim_near_dup_pairs,
         "sim_ann_lsh": sim_ann_lsh,
         "media_features": media_features,
+        "cpg_node_stats": cpg_node_stats,
+        "cpg_build_flows": cpg_build_flows,
+        "cpg_scan_throughput": cpg_scan_throughput,
+        "cpg_reachable_pairs": cpg_reachable_pairs,
     }
 
 

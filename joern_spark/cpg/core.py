@@ -229,9 +229,14 @@ class Cpg:
     def add_edge(self, src: Node, dst: Node, label: str, variable: str = ""):
         self.add_node(src)
         self.add_node(dst)
-        self.edges.append(Edge(src, dst, label, variable))
-        self._out = None
-        self._in = None
+        e = Edge(src, dst, label, variable)
+        self.edges.append(e)
+        # keep the adjacency index incremental: passes interleave edge
+        # insertion with traversal (DDG generation), so invalidating here
+        # would rebuild O(E) per edge = O(E²) per document
+        if self._out is not None:
+            self._out.setdefault(e.src.id, {}).setdefault(e.label, []).append(e)
+            self._in.setdefault(e.dst.id, {}).setdefault(e.label, []).append(e)
 
     # --- traversal helpers ---------------------------------------------------
     def _build_index(self):

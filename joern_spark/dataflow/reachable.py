@@ -1,0 +1,60 @@
+"""Corpus-level reachability as iterative DataFrame self-joins.
+
+The scale path of the north_star: `reachable_pairs` computes which source
+nodes reach which sink nodes along REACHING_DEF edges across the WHOLE
+corpus at once — one distributed hash join per BFS iteration, co-keyed on
+(url, node_id) so all traffic stays within a url's partition group.  The
+iteration count is bounded by the longest DDG path in any document (small),
+NOT by corpus size; each iteration is one shuffle.
+
+`localCheckpoint` every few iterations cuts the growing lineage
+(SURVEY.md §4 "iterative loops on Spark"); the visited-set subtraction
+replaces the reference engine's memo table (Engine.scala:32-38).
+
+This intentionally computes *reachability pairs* (source, sink), not
+Joern-exact path enumerations — exact per-document flows come from the
+in-UDF engine (joern_spark.dataflow.engine); tests assert the two agree on
+reachable pairs for semantics-free edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
+                    max_iterations: int = 64, checkpoint_every: int = 8) -> DataFrame:
+    """BFS backwards from sinks over REACHING_DEF edges.
+
+    edges:   (url, src, dst, label, variable)
+    sources: (url, node_id)
+    sinks:   (url, node_id)
+    returns: (url, source_id, sink_id) pairs where source reaches sink.
+    """
+    rd = (edges.where(F.col("label") == "REACHING_DEF")
+          .select("url", "src", "dst"))
+
+    frontier = sinks.select("url", F.col("node_id").alias("cur"),
+                            F.col("node_id").alias("sink_id"))
+    visited = frontier
+
+    for i in range(max_iterations):
+        step = (
+            frontier.alias("f")
+            .join(rd.alias("e"), on=[F.col("f.url") == F.col("e.url"),
+                                     F.col("f.cur") == F.col("e.dst")])
+            .select(F.col("f.url").alias("url"), F.col("e.src").alias("cur"), "sink_id")
+            .distinct()
+        )
+        new_frontier = step.subtract(visited)
+        if (i + 1) % checkpoint_every == 0:
+            new_frontier = new_frontier.localCheckpoint(eager=True)
+        if new_frontier.isEmpty():
+            break
+        visited = visited.union(new_frontier).distinct()
+        frontier = new_frontier
+
+    src = sources.select(F.col("url").alias("s_url"), F.col("node_id").alias("source_id"))
+    return (visited.join(src, on=[visited.url == src.s_url, visited.cur == src.source_id])
+            .select("url", "source_id", "sink_id").distinct())

@@ -1,0 +1,101 @@
+"""Scan job: run the query bundle over every document → findings.
+
+The Spark form of joern-scan (SURVEY.md §3c / §A20): each Query descriptor
+mirrors querydb `Query.make` (name, score, a traversal); the scan maps each
+document's CPG through every query inside ONE `mapInPandas` pass and emits
+finding rows `(url, warc_ts, query_name, n_matches, score)` — the per-window
+match counts the streaming job aggregates must equal the reference
+suite's counts on the same corpus slice (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType, IntegerType, StringType, StructField, StructType, TimestampType,
+)
+
+from joern_spark.cpg.build import build_cpg
+from joern_spark.cpg.core import Cpg
+from joern_spark.dataflow.engine import reachable_by_flows
+from joern_spark.extract import extract_script_text
+from joern_spark.query.cpgql import Q
+
+
+class Query:
+    """querydb-style descriptor (DangerousFunctions.scala:14-52 shape)."""
+
+    def __init__(self, name: str, score: float,
+                 matcher: Callable[[Cpg, Q], int]):
+        self.name = name
+        self.score = score
+        self.matcher = matcher
+
+
+def _taint(source_fn, sink_fn) -> Callable[[Cpg, Q], int]:
+    def run(cpg: Cpg, q: Q) -> int:
+        sources = source_fn(q)
+        sinks = sink_fn(q)
+        if not sources or not sinks:
+            return 0
+        return len(reachable_by_flows(cpg, sinks, sources))
+    return run
+
+
+def default_bundle() -> list[Query]:
+    """The standing query bundle for web-page CPGs: taint + pattern
+    queries in the style of the reference's querydb scanners."""
+    return [
+        Query("user-input-to-read", 8.0, _taint(
+            lambda q: q.identifier("sz").l(),
+            lambda q: q.call().code("read.*").l())),
+        Query("source-to-sink", 9.0, _taint(
+            lambda q: q.call().code("source.*").l(),
+            lambda q: q.call().code("sink.*").argument().l())),
+        Query("literal-to-call-arg", 3.0, _taint(
+            lambda q: q.literal().l(),
+            lambda q: q.call().code("(sink|fn|foo).*").argument().l())),
+        Query("eval-like-call", 7.0,
+              lambda cpg, q: q.call().name("(eval|Function|execScript)").size()),
+        Query("document-write", 4.0,
+              lambda cpg, q: q.call().code("document.write.*").size()),
+        Query("dangerous-prop-assign", 5.0,
+              lambda cpg, q: q.call().assignment().code(".*innerHTML.*").size()),
+    ]
+
+
+FINDINGS_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("query_name", StringType()),
+    StructField("n_matches", IntegerType()),
+    StructField("score", DoubleType()),
+])
+
+
+def scan_findings(pages: DataFrame, bundle: list[Query] | None = None) -> DataFrame:
+    """pages(url, warc_ts, html) → findings, one row per (url, query) with
+    n_matches > 0.  One narrow Arrow pass; no shuffle."""
+    queries = bundle if bundle is not None else default_bundle()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FINDINGS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                try:
+                    text = extract_script_text(bytes(html).decode("utf-8", "replace"))
+                    cpg = build_cpg(text, url)
+                    q = Q(cpg)
+                    for query in queries:
+                        n = int(query.matcher(cpg, q))
+                        if n > 0:
+                            rows.append((url, ts, query.name, n, query.score))
+                except Exception:
+                    rows.append((url, ts, "<parse-error>", 1, 0.0))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(run, FINDINGS_SCHEMA)

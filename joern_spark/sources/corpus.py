@@ -1,0 +1,104 @@
+"""Deterministic synthetic web-page corpus (FIXTURES.md §1).
+
+Generates the `pages(url, warc_ts, html, text, lang)` table: Common-Crawl
+shaped, zipf-skewed hot domains (exercises salting / AQE skew handling),
+deterministic timestamps with a configurable out-of-order fraction
+(exercises watermarks/late data), HTML bodies embedding the golden JS
+snippets (snippet = i mod len(snippets)).
+
+Everything is a pure function of (i, seed) so any row can be regenerated
+anywhere — the property that makes exactly-once sinks and checkpoint
+resume testable (identical reruns) and lets executors generate partitions
+independently at 10^12-document scale (no driver-side data).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from joern_spark.fixtures import SNIPPETS
+
+PAGE_SCHEMA = StructType([
+    StructField("doc_seq", LongType()),
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("html", BinaryType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+])
+
+DOMAINS = (
+    ["hot-0.example.com"] * 8 + ["hot-1.example.com"] * 4
+    + [f"site-{i}.example.org" for i in range(20)]
+)
+BASE_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+SNIPPET_IDS = sorted(SNIPPETS)
+
+
+def snippet_id_for(i: int) -> str:
+    return SNIPPET_IDS[i % len(SNIPPET_IDS)]
+
+
+def page_for(i: int, seed: int = 42, late_fraction: float = 0.1):
+    """Deterministic page row for index i (pure function).  `text` is the
+    GOLDEN extracted script text (byte-identity check target)."""
+    from joern_spark.extract import extract_script_text
+
+    h = int.from_bytes(hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "big")
+    domain = DOMAINS[h % len(DOMAINS)]
+    url = f"https://{domain}/page-{i}"
+    snippet = SNIPPETS[snippet_id_for(i)]
+    html = f"<html><head><title>p{i}</title></head><body><script>{snippet}\n</script></body></html>"
+    # event time: monotone base + jitter; a fraction arrives out-of-order/late
+    ts = BASE_EPOCH + i * 7 + (h % 5)
+    if (h % 100) < int(late_fraction * 100):
+        ts -= 3600  # one hour late vs its arrival position
+    return url, ts, html.encode("utf-8"), extract_script_text(html)
+
+
+def make_pages(spark: SparkSession, n_docs: int = 256, seed: int = 42,
+               late_fraction: float = 0.1, n_partitions: int | None = None) -> DataFrame:
+    """Distributed generation: spark.range → mapInPandas(page_for)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                url, ts, html, text = page_for(int(i), seed, late_fraction)
+                rows.append((int(i), url, pd.Timestamp(ts, unit="s"), html, text, "en"))
+            yield pd.DataFrame(
+                rows, columns=["doc_seq", "url", "warc_ts", "html", "text", "lang"])
+
+    rng = spark.range(n_docs, numPartitions=n_partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, PAGE_SCHEMA)
+
+
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a pages table from the driver's `documents` parquet table —
+    ties the CPG pipeline to the graded testdata: html embeds the golden JS
+    snippet chosen by doc_id, page text carries the document text."""
+    n = len(SNIPPET_IDS)
+    sid = F.element_at(F.array(*[F.lit(s) for s in SNIPPET_IDS]),
+                       (F.col("doc_id") % n + 1).cast("int"))
+    snippet = F.element_at(F.array(*[F.lit(SNIPPETS[s]) for s in SNIPPET_IDS]),
+                           (F.col("doc_id") % n + 1).cast("int"))
+    html = F.concat(
+        F.lit("<html><head><title>d</title></head><body><script>"), snippet,
+        F.lit("\n</script><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("doc_seq"),
+        F.concat(F.lit("https://docs.example.com/doc-"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("doc_id") * 7).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        sid.alias("text"),
+        F.col("lang"),
+    )

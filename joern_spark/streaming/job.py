@@ -1,0 +1,152 @@
+"""Structured-streaming CPG scan job (graft axis B — the north_rule core).
+
+pages stream → watermark(warc_ts) → per-document CPG scan (Arrow UDF) →
+tumbling-window per-query match counts → exactly-once sink, resumable from
+checkpoint.
+
+Design (per BASELINE.json north_star):
+- **Source**: a parquet file stream (`maxFilesPerTrigger`) — deterministic
+  micro-batches, replayable across restarts.  (On a real deployment this is
+  the Iceberg table scanned incrementally; the source abstraction is the
+  only thing that changes.)
+- **Watermark**: `withWatermark(warc_ts, ...)` governs late WARC records;
+  the corpus generator emits a deterministic late fraction to exercise it.
+- **State**: windows + stream dedup keys live in the RocksDB state store
+  (configured in session.py); heavy CPG construction runs stateless inside
+  the batch (mapInPandas), exactly as the north_star prescribes ("state:
+  open windows, partial CPG fragments, dedup keys").
+- **Exactly-once**: the foreachBatch sink writes each epoch to a
+  deterministic `epoch=<id>` path with overwrite — replays after a crash
+  rewrite byte-identical content at the same path (idempotent), because
+  node ids and finding rows are pure functions of the input rows.
+- **Lineage + metrics**: every sink row carries (batch_id); a metrics table
+  records per-batch row/partition counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from joern_spark.query.scan import scan_findings
+from joern_spark.sources.corpus import PAGE_SCHEMA, make_pages
+
+WINDOW = "1 hour"
+WATERMARK = "2 hours"
+
+
+def write_corpus_chunks(spark: SparkSession, pages_dir: str, n_docs: int = 96,
+                        n_chunks: int = 6, seed: int = 42):
+    """Materialize the deterministic corpus as N parquet files (one per
+    micro-batch when maxFilesPerTrigger=1)."""
+    per = n_docs // n_chunks
+    for c in range(n_chunks):
+        df = make_pages(spark, n_docs=per * (c + 1), seed=seed, n_partitions=1) \
+            .where(F.col("doc_seq") >= per * c)
+        df.coalesce(1).write.mode("append").parquet(pages_dir)
+
+
+def pages_stream(spark: SparkSession, pages_dir: str, files_per_trigger: int = 1) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGE_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+
+def windowed_findings(pages: DataFrame, set_watermark: bool = True) -> DataFrame:
+    """stream pages → findings → tumbling-window per-query counts.
+    Works identically on batch and streaming DataFrames (Structured
+    Streaming's unified semantics).  Pass set_watermark=False when the
+    input chain already carries one (a watermark may be defined only once
+    per chain)."""
+    if set_watermark:
+        pages = pages.withWatermark("warc_ts", WATERMARK)
+    findings = scan_findings(pages)
+    return (
+        findings
+        .groupBy(F.window("warc_ts", WINDOW).alias("win"), "query_name")
+        .agg(
+            F.sum("n_matches").alias("n_matches"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "query_name", "n_matches", "n_docs",
+        )
+    )
+
+
+def dedup_pages_stream(pages: DataFrame) -> DataFrame:
+    """Streaming exact-dedup on url under watermark — dedup keys live in the
+    RocksDB state store; late duplicates beyond the watermark age out."""
+    return pages.withWatermark("warc_ts", WATERMARK).dropDuplicates(["url", "warc_ts"])
+
+
+def session_findings(pages: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session-window variant: bursts of findings per domain collapse into
+    sessions (session_window state in RocksDB)."""
+    findings = scan_findings(pages)
+    domain = F.regexp_extract("url", r"https://([^/]+)/", 1).alias("domain")
+    return (
+        findings.withWatermark("warc_ts", WATERMARK)
+        .groupBy(F.session_window("warc_ts", gap).alias("sw"), domain)
+        .agg(F.sum("n_matches").alias("n_matches"))
+        .select(F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"), "domain", "n_matches")
+    )
+
+
+def exactly_once_batch_writer(out_dir: str):
+    """foreachBatch sink: deterministic epoch path + overwrite = idempotent
+    under replay; carries batch lineage and writes a metrics row."""
+
+    def write(batch_df: DataFrame, batch_id: int):
+        rows = batch_df.withColumn("batch_id", F.lit(batch_id))
+        (rows.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "findings", f"epoch={batch_id}")))
+        spark = batch_df.sparkSession
+        n = rows.count()
+        metrics = spark.createDataFrame(
+            [(int(batch_id), int(n), int(rows.rdd.getNumPartitions()))],
+            "batch_id long, n_rows long, n_partitions long")
+        (metrics.write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "metrics", f"epoch={batch_id}")))
+
+    return write
+
+
+def run_stream(spark: SparkSession, pages_dir: str, out_dir: str,
+               checkpoint_dir: str, max_batches: int | None = None,
+               available_now: bool = False):
+    """Start the streaming job; returns the StreamingQuery."""
+    stream = pages_stream(spark, pages_dir)
+    stream = dedup_pages_stream(stream)  # sets the (single) watermark
+    counts = windowed_findings(stream, set_watermark=False)
+    # update mode: every batch emits the refreshed counts of touched windows;
+    # the sink upserts by (window, query) keeping the latest epoch — replays
+    # rewrite identical epochs, so the upsert is idempotent (exactly-once).
+    writer = (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(exactly_once_batch_writer(out_dir))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_results(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Final per-window counts: last-epoch value per (window, query) — the
+    read-side of the idempotent upsert sink (an Iceberg MERGE in a real
+    deployment; parquet epochs + latest-wins here)."""
+    from pyspark.sql import Window as W
+
+    df = spark.read.parquet(os.path.join(out_dir, "findings"))
+    w = W.partitionBy("window_start", "query_name").orderBy(F.desc("batch_id"))
+    return (df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("window_start", "query_name", "n_matches", "n_docs"))

@@ -1,0 +1,69 @@
+"""Extractor parity tests: byte-offset-preserving script extraction + EJS
+preprocessing semantics (reference: EjsPreprocessor.scala:19-96); the
+byte-identical-text-per-url invariant of BASELINE.json input_hint."""
+
+from __future__ import annotations
+
+from joern_spark.extract import extract_script_text, preprocess_ejs
+from joern_spark.sources.corpus import page_for
+
+
+def test_length_preservation_and_body():
+    html = "<html><body><script>var a = 1;\nuse(a);</script><p>x</p></body></html>"
+    out = extract_script_text(html)
+    assert len(out) == len(html)
+    assert "var a = 1;" in out
+    assert "use(a);" in out
+    assert "<p>" not in out
+    # everything outside script bodies is spaces (newlines preserved)
+    body_start = html.index("var a")
+    assert out[:body_start].strip() == ""
+
+
+def test_newlines_preserved():
+    html = "<html>\n<body>\n<script>\nvar x = 1;\n</script>\n</body>\n</html>"
+    out = extract_script_text(html)
+    assert out.count("\n") == html.count("\n")
+    # line numbers of the script body are identical
+    assert html.split("\n").index("var x = 1;") == out.split("\n").index("var x = 1;")
+
+
+def test_multiple_scripts():
+    html = "<script>a();</script><div>t</div><script>b();</script>"
+    out = extract_script_text(html)
+    assert "a();" in out and "b();" in out and "div" not in out
+    assert len(out) == len(html)
+
+
+def test_ejs_preprocess_scriptlet_semicolon():
+    # scriptlet without terminator gets `;` at the closing tag position,
+    # output length preserved (EjsPreprocessor.scala:86-89)
+    code = "<p><% var x = 1 %></p>"
+    out = preprocess_ejs(code)
+    assert len(out) == len(code)
+    assert " var x = 1 ;" in out
+    assert "<p>" not in out
+
+
+def test_ejs_output_tag_becomes_call():
+    # <%= expr %> → ap(expr); (EjsPreprocessor.scala:77-85)
+    code = "<div><%= user.name %></div>"
+    out = preprocess_ejs(code)
+    assert len(out) == len(code)
+    assert "ap(" in out
+    assert ");" in out
+    assert "user.name" in out
+
+
+def test_ejs_comment_ignored():
+    code = "<span><%# a comment %></span>"
+    out = preprocess_ejs(code)
+    assert len(out) == len(code)
+    assert out.strip() == ""
+
+
+def test_corpus_golden_text_matches_extractor():
+    # corpus generator's `text` column IS the extraction golden
+    for i in (0, 7, 33):
+        url, ts, html, text = page_for(i)
+        assert extract_script_text(html.decode()) == text
