@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (north_rule): run the flagship CPG scan at
+two parallelism levels on IDENTICAL input and report sustained docs/sec.
+
+In this sandbox `local[N]` threads stand in for executors (BASELINE.json:
+"evidence it by running the same job at two parallelism levels ... on the
+same input"); the host has 32 physical cores, no SMT.
+
+Usage: python scaling_bench.py <cores> [n_docs]   → one JSON line
+       python scaling_bench.py --pair             → runs 8 and 32, reports efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+N_DOCS_DEFAULT = 32768
+N_PARTITIONS = 128  # fixed across runs: identical input AND partitioning
+
+
+def run_one(cores: int, n_docs: int) -> dict:
+    from joern_spark.query.scan import scan_findings
+    from joern_spark.session import get_spark
+    from joern_spark.sources.corpus import make_pages
+
+    spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=N_PARTITIONS)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = make_pages(spark, n_docs=n_docs, n_partitions=N_PARTITIONS)
+    pages = pages.localCheckpoint(eager=True)  # materialize identical input
+    # warm-up pass (python workers), then two timed passes; report the best
+    scan_findings(pages).write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        scan_findings(pages).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_docs": n_docs,
+        "wall_sec": round(best, 3),
+        "docs_per_sec": round(n_docs / best, 1),
+    }
+
+
+def main():
+    if sys.argv[1:2] == ["--pair"]:
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else N_DOCS_DEFAULT
+        results = []
+        for cores in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, str(cores), str(n_docs)],
+                capture_output=True, text=True, check=True)
+            results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        r_n, r_4n = results
+        speedup = r_4n["docs_per_sec"] / r_n["docs_per_sec"]
+        efficiency = speedup / (r_4n["cores"] / r_n["cores"])
+        print(json.dumps({
+            "metric": "scaling_efficiency_N_to_4N",
+            "value": round(efficiency, 3),
+            "unit": "ratio",
+            "N": r_n, "4N": r_4n,
+            "speedup": round(speedup, 2),
+        }))
+        return
+    cores = int(sys.argv[1])
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else N_DOCS_DEFAULT
+    print(json.dumps(run_one(cores, n_docs)))
+
+
+if __name__ == "__main__":
+    main()
