@@ -147,6 +147,45 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.top_users_by_window(load_table(spark, sf_dir, "events"))
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence pattern: signup followed by a purchase within 1h
+    (stream-stream-join shape; batch form here, same join in streaming)."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("signup_ts"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("purchase_ts"), "value")
+    j = s.join(p, (F.col("u") == F.col("u2"))
+               & (F.col("purchase_ts") > F.col("signup_ts"))
+               & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")))
+    return j.groupBy(F.col("u").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.sum("value") * 100).cast("long").alias("value_cents"),
+    )
+
+
+def events_user_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation (pipeline.skew.salted_agg) — result
+    is semantically identical to a plain GROUP BY, which is the oracle."""
+    from joern_spark.pipeline.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        F.col("user_id"),
+        [(F.lit(1), "count", "sum", "n_events"),
+         (F.col("value"), "sum", "sum", "value_sum")],
+        n_salts=8,
+        salt_on=F.col("event_id"),
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("n_events"),
+        F.round(F.col("value_sum") * 100).cast("long").alias("value_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: text analysis + dedup + similarity
 # ---------------------------------------------------------------------------
@@ -337,6 +376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": events_sliding,
         "events_sessions": events_sessions,
         "events_top_users": events_top_users,
+        "events_funnel": events_funnel,
+        "events_user_totals_salted": events_user_totals_salted,
         "doc_token_counts": doc_token_counts,
         "doc_lang_id": doc_lang_id,
         "doc_quality": doc_quality,
@@ -502,6 +543,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT window_start, user_id, value_cents, rank
             FROM ranked WHERE rank <= 3
+        """,
+        "events_funnel": """
+            SELECT s.user_id,
+                   count(*) AS n_conversions,
+                   CAST(round(sum(p.value)*100) AS BIGINT) AS value_cents
+            FROM (SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup') s
+            JOIN (SELECT user_id, ts AS purchase_ts, value FROM events WHERE event_type = 'purchase') p
+              ON s.user_id = p.user_id
+             AND p.purchase_ts > s.signup_ts
+             AND p.purchase_ts <= s.signup_ts + INTERVAL '1 hour'
+            GROUP BY s.user_id
+        """,
+        "events_user_totals_salted": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(round(sum(value)*100) AS BIGINT) AS value_cents
+            FROM events GROUP BY user_id
         """,
         "doc_token_counts": f"""
             SELECT doc_id,

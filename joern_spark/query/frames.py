@@ -1,0 +1,185 @@
+"""CPGQL traversal steps as DataFrame operators (SURVEY.md §2B).
+
+The corpus-level twin of joern_spark.query.cpgql: a traversal is a
+DataFrame of (url, node_id) "cursors" plus the nodes/edges tables; every
+CPGQL step becomes a join/filter co-keyed on (url, node_id), so each hop
+is one distributed hash join whose traffic stays inside a url's hash
+bucket.  Catalyst gives predicate pushdown/column pruning on the node
+property filters for free.
+
+Usage:
+    g = CpgFrames(nodes, edges)
+    sinks = g.calls().code_rlike("^read.*")
+    args  = sinks.argument()
+    rows  = args.df()   # (url, node_id) + node columns
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSIGNMENT_NAMES = [
+    "<operator>.assignment", "<operator>.assignmentOr", "<operator>.assignmentAnd",
+    "<operator>.assignmentXor", "<operator>.assignmentDivision",
+    "<operator>.assignmentExponentiation", "<operator>.assignmentModulo",
+    "<operator>.assignmentMultiplication", "<operator>.assignmentPlus",
+    "<operator>.assignmentMinus", "<operator>.assignmentShiftLeft",
+    "<operator>.assignmentArithmeticShiftRight", "<operator>.assignmentLogicalShiftRight",
+]
+
+
+class CpgFrames:
+    def __init__(self, nodes: DataFrame, edges: DataFrame):
+        self.nodes = nodes
+        self.edges = edges
+
+    # --- starters ---------------------------------------------------------
+    def _label(self, label: str) -> "Trav":
+        return Trav(self, self.nodes.where(F.col("label") == label))
+
+    def methods(self) -> "Trav":
+        return self._label("METHOD")
+
+    def calls(self) -> "Trav":
+        return self._label("CALL")
+
+    def identifiers(self) -> "Trav":
+        return self._label("IDENTIFIER")
+
+    def literals(self) -> "Trav":
+        return self._label("LITERAL")
+
+    def locals_(self) -> "Trav":
+        return self._label("LOCAL")
+
+    def returns(self) -> "Trav":
+        return self._label("RETURN")
+
+    def assignments(self) -> "Trav":
+        return Trav(self, self.nodes.where(
+            (F.col("label") == "CALL") & F.col("name").isin(ASSIGNMENT_NAMES)))
+
+
+class Trav:
+    """A traversal position: DataFrame with node columns (url, node_id, ...)."""
+
+    def __init__(self, g: CpgFrames, df: DataFrame):
+        self.g = g
+        self._df = df
+
+    def df(self) -> DataFrame:
+        return self._df
+
+    def cursors(self) -> DataFrame:
+        return self._df.select("url", "node_id")
+
+    # --- property filters (full-match regex semantics like the reference) ---
+    def name_rlike(self, regex: str) -> "Trav":
+        return Trav(self.g, self._df.where(F.col("name").rlike(f"^(?:{regex})$")))
+
+    def code_rlike(self, regex: str) -> "Trav":
+        return Trav(self.g, self._df.where(F.col("code").rlike(f"^(?:{regex})$")))
+
+    def name_exact(self, s: str) -> "Trav":
+        return Trav(self.g, self._df.where(F.col("name") == s))
+
+    def where_col(self, cond) -> "Trav":
+        return Trav(self.g, self._df.where(cond))
+
+    # --- hops ----------------------------------------------------------------
+    def _hop(self, edge_label: str, forward: bool, order_by_arg: bool = False) -> "Trav":
+        e = self.g.edges.where(F.col("label") == edge_label)
+        cur = self.cursors().alias("c")
+        if forward:
+            joined = cur.join(
+                e.alias("e"),
+                [F.col("c.url") == F.col("e.url"), F.col("c.node_id") == F.col("e.src")])
+            nxt = joined.select(F.col("c.url").alias("url"), F.col("e.dst").alias("node_id"))
+        else:
+            joined = cur.join(
+                e.alias("e"),
+                [F.col("c.url") == F.col("e.url"), F.col("c.node_id") == F.col("e.dst")])
+            nxt = joined.select(F.col("c.url").alias("url"), F.col("e.src").alias("node_id"))
+        out = nxt.join(self.g.nodes, ["url", "node_id"])
+        return Trav(self.g, out)
+
+    def ast_children(self) -> "Trav":
+        return self._hop("AST", forward=True)
+
+    def ast_parent(self) -> "Trav":
+        return self._hop("AST", forward=False)
+
+    def cfg_next(self) -> "Trav":
+        return self._hop("CFG", forward=True)
+
+    def cfg_prev(self) -> "Trav":
+        return self._hop("CFG", forward=False)
+
+    def argument(self, i: int | None = None) -> "Trav":
+        t = self._hop("ARGUMENT", forward=True)
+        if i is not None:
+            t = Trav(self.g, t.df().where(F.col("argument_index") == i))
+        return t
+
+    def receiver(self) -> "Trav":
+        return self._hop("RECEIVER", forward=True)
+
+    def refs_to(self) -> "Trav":
+        return self._hop("REF", forward=True)
+
+    def callee(self) -> "Trav":
+        return self._hop("CALL", forward=True)
+
+    def call_in(self) -> "Trav":
+        return self._hop("CALL", forward=False)
+
+    def contains_in(self) -> "Trav":
+        """owning method (via CONTAINS edges, reverse)."""
+        return self._hop("CONTAINS", forward=False)
+
+    def parameter(self) -> "Trav":
+        t = self._hop("AST", forward=True)
+        return Trav(self.g, t.df().where(F.col("label") == "METHOD_PARAMETER_IN"))
+
+    def method_return(self) -> "Trav":
+        t = self._hop("AST", forward=True)
+        return Trav(self.g, t.df().where(F.col("label") == "METHOD_RETURN"))
+
+    # --- transitive AST closure (bounded iterative join; SURVEY §2B `.ast`) ---
+    def ast(self, max_depth: int = 64) -> "Trav":
+        e = self.g.edges.where(F.col("label") == "AST").select("url", "src", "dst")
+        frontier = self.cursors()
+        acc = frontier
+        for i in range(max_depth):
+            step = (frontier.alias("f")
+                    .join(e.alias("e"),
+                          [F.col("f.url") == F.col("e.url"),
+                           F.col("f.node_id") == F.col("e.src")])
+                    .select(F.col("f.url").alias("url"), F.col("e.dst").alias("node_id"))
+                    .distinct())
+            new = step.subtract(acc)
+            if (i + 1) % 8 == 0:
+                new = new.localCheckpoint(eager=True)
+            if new.isEmpty():
+                break
+            acc = acc.union(new)
+            frontier = new
+        return Trav(self.g, acc.join(self.g.nodes, ["url", "node_id"]))
+
+    # --- semi/anti (where / whereNot) -------------------------------------------
+    def where_exists(self, inner: "Trav") -> "Trav":
+        return Trav(self.g, self._df.join(inner.cursors(), ["url", "node_id"], "left_semi"))
+
+    def where_not_exists(self, inner: "Trav") -> "Trav":
+        return Trav(self.g, self._df.join(inner.cursors(), ["url", "node_id"], "left_anti"))
+
+    # --- glue ---------------------------------------------------------------------
+    def dedup(self) -> "Trav":
+        return Trav(self.g, self._df.dropDuplicates(["url", "node_id"]))
+
+    def union(self, other: "Trav") -> "Trav":
+        return Trav(self.g, self._df.unionByName(other.df()))
+
+    def count_by_url(self) -> DataFrame:
+        return self._df.groupBy("url").agg(F.count(F.lit(1)).alias("n"))

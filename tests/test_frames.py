@@ -1,0 +1,73 @@
+"""Corpus-level DataFrame layer tests: CPGQL frame steps, iterative-join
+reachability vs the exact per-document engine, export, vectors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from joern_spark.cpg.spark_build import build_cpg_tables
+from joern_spark.dataflow.reachable import reachable_pairs
+from joern_spark.query.export import export_dot
+from joern_spark.query.frames import CpgFrames
+from joern_spark.query.vectors import bag_of_api_symbols
+from joern_spark.sources.corpus import make_pages, snippet_id_for
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    pages = make_pages(spark, n_docs=40, n_partitions=4)
+    nodes, edges = build_cpg_tables(pages)
+    return (nodes.localCheckpoint(eager=True), edges.localCheckpoint(eager=True))
+
+
+def test_frames_steps_match_engine(spark, graph):
+    nodes, edges = graph
+    g = CpgFrames(nodes, edges)
+    # flows1 docs: the read(...) call has arguments this, fd, buff, sz
+    sinks = g.calls().code_rlike("read.*")
+    args = sinks.argument()
+    by_url = {r.url: r.n for r in args.count_by_url().collect()}
+    flows1_urls = [u for u in by_url
+                   if snippet_id_for(int(u.rsplit("-", 1)[1])) == "flows1"]
+    assert flows1_urls, "corpus must contain flows1 docs"
+    for u in flows1_urls:
+        assert by_url[u] == 4  # this(0), fd, buff, sz
+
+    # where/whereNot (semi/anti join): calls with literal arg 2
+    with_lit = g.assignments().where_exists(
+        g.literals().ast_parent().where_col(F.col("label") == "CALL"))
+    assert with_lit.df().count() > 0
+
+
+def test_reachable_pairs_match_engine_counts(spark, graph):
+    """Corpus-level BFS reachability agrees with the exact engine on
+    source→sink pair counts for the flows1 query."""
+    nodes, edges = graph
+    sources = nodes.where((F.col("label") == "IDENTIFIER") & (F.col("name") == "sz")) \
+        .select("url", "node_id")
+    sinks = nodes.where((F.col("label") == "CALL") & F.col("code").rlike("^read.*")) \
+        .select("url", "node_id")
+    pairs = reachable_pairs(edges, sources, sinks)
+    per_url = {r.url: r.n for r in
+               pairs.groupBy("url").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # exact engine golden: 6 sz-identifier sources reach the read call
+    for url, n in per_url.items():
+        assert n == 6, f"{url}: expected 6 reachable pairs, got {n}"
+    assert per_url, "must find flows1 pairs"
+
+
+def test_export_dot(spark, graph):
+    nodes, edges = graph
+    dots = export_dot(nodes, edges, "ast").collect()
+    assert len(dots) == 40
+    assert all(r.dot.startswith("digraph g {") for r in dots)
+    assert all('[label="AST"]' in r.dot for r in dots)
+
+
+def test_vectors(spark, graph):
+    nodes, edges = graph
+    bag = bag_of_api_symbols(nodes, edges)
+    toks = {r.token for r in bag.select("token").distinct().collect()}
+    assert "read" in toks or "sink" in toks
+    assert not any(t.startswith("<operator>") for t in toks)
