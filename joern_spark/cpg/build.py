@@ -14,6 +14,7 @@ import sys
 from joern_spark.cpg.astlower import lower_js
 from joern_spark.cpg.cfg import add_cfg
 from joern_spark.cpg.core import Cpg
+from joern_spark.cpg.dominators import add_cdg, add_dominators
 from joern_spark.cpg.passes import create_method_stubs, link_calls
 from joern_spark.cpg.reachingdef import add_reaching_defs
 from joern_spark.cpg.semantics import Semantics, default_semantics
@@ -29,5 +30,7 @@ def build_cpg(src: str, filename: str = "script.js",
     create_method_stubs(cpg)
     link_calls(cpg)
     add_cfg(cpg)
+    add_dominators(cpg)
+    add_cdg(cpg)
     add_reaching_defs(cpg, semantics or _SEMANTICS)
     return cpg

@@ -217,6 +217,41 @@ class Steps:
             out.extend(e.dst for e in self.cpg.out(n, "REF"))
         return Steps(self.cpg, out)
 
+    # --- DOM / PDOM / CDG closures (CfgNodeMethods.scala:42-108) --------------
+    def _closure(self, edge_label: str, forward: bool) -> "Steps":
+        out, seen = [], set()
+        frontier = list(self.nodes)
+        while frontier:
+            nxt = []
+            for n in frontier:
+                es = self.cpg.out(n, edge_label) if forward else self.cpg.inn(n, edge_label)
+                for e in es:
+                    m = e.dst if forward else e.src
+                    if m.id not in seen:
+                        seen.add(m.id)
+                        out.append(m)
+                        nxt.append(m)
+            frontier = nxt
+        return Steps(self.cpg, out)
+
+    def dominates(self) -> "Steps":
+        return self._closure("DOMINATE", forward=True)
+
+    def dominated_by(self) -> "Steps":
+        return self._closure("DOMINATE", forward=False)
+
+    def post_dominates(self) -> "Steps":
+        return self._closure("POST_DOMINATE", forward=True)
+
+    def post_dominated_by(self) -> "Steps":
+        return self._closure("POST_DOMINATE", forward=False)
+
+    def controls(self) -> "Steps":
+        return self._closure("CDG", forward=True)
+
+    def controlled_by(self) -> "Steps":
+        return self._closure("CDG", forward=False)
+
     # --- operator views -------------------------------------------------------
     def assignment(self) -> "Steps":
         return self.filter(lambda n: n.label == "CALL" and n.name in ALL_ASSIGNMENT_TYPES)
