@@ -212,9 +212,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.minhash_signature(load_table(spark, sf_dir, "documents"))
-    # flatten for stable oracle comparison: (doc_id, seed, minhash value)
+    # flatten for stable oracle comparison: (doc_id, seed, minhash value).
+    # posexplode_OUTER: plain posexplode makes InferFiltersFromGenerate push a
+    # `size(minhash) > 0` filter below the projections, re-inlining the whole
+    # minhash expression tree into a non-codegen per-row Filter (30x slower);
+    # the signature always has 16 elements, so outer semantics are identical.
     return sig.select(
-        "doc_id", F.posexplode("minhash").alias("seed", "mh")
+        "doc_id", F.posexplode_outer("minhash").alias("seed", "mh")
     )
 
 
@@ -413,10 +417,16 @@ WITH sh AS (
          ELSE [substr(trim(text), 1, 1000)] END AS shingles
   FROM documents
 ),
+hpair AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h1,
+         ('0x' || substr(md5(s), 16, 15))::BIGINT % 2147483646 + 1 AS h2
+  FROM sh, unnest(shingles) AS u(s)
+),
 mh AS (
   SELECT doc_id, seed,
-         min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
-  FROM sh, unnest(shingles) AS u(s), range(0, 16) AS r(seed)
+         min((h1 + seed * h2) % 2147483647) AS mh
+  FROM hpair, range(0, 16) AS r(seed)
   GROUP BY doc_id, seed
 )
 """

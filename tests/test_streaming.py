@@ -9,6 +9,7 @@ import tempfile
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from joern_spark.streaming import job
 
@@ -67,3 +68,61 @@ def test_windowed_counts_match_batch(spark, corpus_dir):
         assert got == expected
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stateful_domain_stats(spark, corpus_dir):
+    """applyInPandasWithState: running per-domain totals; final state equals
+    the batch group-by."""
+    import tempfile
+    from joern_spark.streaming.stateful import domain_running_stats
+
+    base = tempfile.mkdtemp(prefix="state_")
+    stream = job.pages_stream(spark, corpus_dir)
+    out = domain_running_stats(stream)
+    results = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            results[r.domain] = r.n_pages  # update semantics: latest wins
+
+    q = (out.writeStream.outputMode("update")
+         .option("checkpointLocation", f"{base}/cp")
+         .foreachBatch(sink).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    batch = (spark.read.parquet(corpus_dir)
+             .groupBy(F.regexp_extract("url", r"https://([^/]+)/", 1).alias("domain"))
+             .count().collect())
+    expected = {r.domain: r["count"] for r in batch}
+    assert results == expected
+
+
+def test_stream_stream_join(spark, corpus_dir):
+    """Watermarked stream-stream join: every page finds its (possibly late)
+    metadata record exactly once."""
+    import tempfile
+    from joern_spark.streaming.stateful import (join_pages_with_meta,
+                                                synth_meta_stream_frame)
+
+    base = tempfile.mkdtemp(prefix="ssj_")
+    # write the deterministic meta twin as its own parquet stream source
+    meta_dir = f"{base}/meta"
+    synth_meta_stream_frame(spark.read.parquet(corpus_dir)).write.parquet(meta_dir)
+    pages = job.pages_stream(spark, corpus_dir, files_per_trigger=4)
+    meta = (spark.readStream
+            .schema(spark.read.parquet(meta_dir).schema)
+            .option("maxFilesPerTrigger", 4).parquet(meta_dir))
+    joined = join_pages_with_meta(pages, meta)
+    rows = []
+
+    def sink(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    q = (joined.writeStream.outputMode("append")
+         .option("checkpointLocation", f"{base}/cp")
+         .foreachBatch(sink).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    n_pages = spark.read.parquet(corpus_dir).count()
+    assert len(rows) == n_pages, f"expected {n_pages} joined rows, got {len(rows)}"
+    assert {r.fetch_status for r in rows} <= {200, 404}
