@@ -148,6 +148,9 @@ def lsh_candidate_pairs(
     banded = sig_df.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id", "band.band_idx", "band.band_hash"
     )
+    # materialize before the self-join: both join sides would otherwise
+    # recompute the full minhash lineage (signature = the expensive part)
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
