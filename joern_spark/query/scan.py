@@ -61,7 +61,7 @@ def default_bundle() -> list[Query]:
         Query("eval-like-call", 7.0,
               lambda cpg, q: q.call().name("(eval|Function|execScript)").size()),
         Query("document-write", 4.0,
-              lambda cpg, q: q.call().code("document.write.*").size()),
+              lambda cpg, q: q.call().code(r"document\.write\(.*").size()),
         Query("dangerous-prop-assign", 5.0,
               lambda cpg, q: q.call().assignment().code(".*innerHTML.*").size()),
     ]

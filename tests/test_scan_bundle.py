@@ -1,0 +1,84 @@
+"""Query-bundle tests in the reference's querydb style (SURVEY.md §5.5,
+CQueryTestSuite.scala:12-43 model): each query ships positive snippets
+(that MUST be flagged) and negative snippets (that MUST NOT), asserting
+the flagged set exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from joern_spark.cpg.build import build_cpg
+from joern_spark.query.cpgql import Q
+from joern_spark.query.scan import default_bundle
+
+BUNDLE = {q.name: q for q in default_bundle()}
+
+CASES = {
+    "user-input-to-read": {
+        "positive": [
+            "function f(fd) { var sz = 0; sz = 20; read(fd, b, sz); }",
+            "var sz = taint(); read(f, b, sz);",
+        ],
+        "negative": [
+            "function f(fd) { var sz = 0; read(fd, b, 10); }",
+            "var sz = 1; write(f, b, sz);",
+        ],
+    },
+    "source-to-sink": {
+        "positive": [
+            "var x = source(); sink(x);",
+            "function t() { var k = source(); p.x = k; sink(p.x); }",
+        ],
+        "negative": [
+            "var x = clean(); sink(x);",
+            "var x = source(); log(x);",
+        ],
+    },
+    "eval-like-call": {
+        "positive": [
+            "eval(code);",
+            "var f = Function('return 1');",
+        ],
+        "negative": [
+            "evaluate(code);",
+            "myFunction();",
+        ],
+    },
+    "document-write": {
+        "positive": ["document.write(html);"],
+        "negative": ["doc.write(html);", "document.writeText(html);"],
+    },
+    "dangerous-prop-assign": {
+        "positive": ["el.innerHTML = userContent;"],
+        "negative": ["el.textContent = userContent;"],
+    },
+}
+
+
+@pytest.mark.parametrize("query_name", sorted(CASES))
+def test_positive_examples_flagged(query_name):
+    query = BUNDLE[query_name]
+    for snippet in CASES[query_name]["positive"]:
+        cpg = build_cpg(snippet)
+        n = query.matcher(cpg, Q(cpg))
+        assert n > 0, f"{query_name} must flag: {snippet!r}"
+
+
+@pytest.mark.parametrize("query_name", sorted(CASES))
+def test_negative_examples_not_flagged(query_name):
+    query = BUNDLE[query_name]
+    for snippet in CASES[query_name]["negative"]:
+        cpg = build_cpg(snippet)
+        n = query.matcher(cpg, Q(cpg))
+        assert n == 0, f"{query_name} must NOT flag: {snippet!r}"
+
+
+def test_combined_program_flags_exactly_the_positives():
+    """CQueryTestSuite model: concatenate positives+negatives of one query
+    into one program; the flagged count equals the positive count."""
+    pos = CASES["eval-like-call"]["positive"]
+    neg = CASES["eval-like-call"]["negative"]
+    program = "\n".join(pos + neg)
+    cpg = build_cpg(program)
+    n = BUNDLE["eval-like-call"].matcher(cpg, Q(cpg))
+    assert n == len(pos)
