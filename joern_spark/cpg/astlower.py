@@ -378,6 +378,10 @@ class AstLowerer:
             return Ast(ret).with_child(arg).with_arg_edges(ret, [arg.root])
         return Ast(ret)
 
+    # YieldExpression lowers like a return (AstCreator.scala:179)
+    def _ast_yield_expression(self, js) -> Ast:
+        return self._ast_return_statement(js)
+
     def _ast_if_statement(self, js) -> Ast:
         cond = self.ast_for_node_with_fref(js["test"])
         then = self.ast_for_node_with_fref(js["consequent"])

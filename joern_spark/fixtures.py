@@ -255,6 +255,16 @@ function foo(u) {
 const middle = source()
 const number = 1, sink = middle.fn()
 """,
+    "asyncyield": """
+async function fetchUser(id) {
+  var data = await source(id);
+  sink(data);
+  return data;
+}
+function* pages() {
+  yield 1;
+  yield 2;
+}""",
     "modulelit": """
 import axios from 'axios';
 import { User } from './user';

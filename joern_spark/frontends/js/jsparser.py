@@ -265,6 +265,10 @@ class Parser:
         if k == "punct" and v == ";":
             self.eat(";")
             return self.node("EmptyStatement", t.start, t.end)
+        if k == "id" and v == "async" and self.peek(1).value == "function" \
+                and not self.peek(1).nl_before:
+            self.eat()
+            return self.parse_function(is_declaration=True)
         if k == "kw":
             if v in ("var", "let", "const"):
                 # `let` as identifier is ignored; fine for our corpus
@@ -713,6 +717,32 @@ class Parser:
                          params=params, body=body, generator=False, **{"async": False})
 
     def parse_assignment(self, no_in=False):
+        t = self.peek()
+        if t.kind == "kw" and t.value == "yield":
+            self.eat("yield")
+            self.opt("*")
+            arg = None
+            nt = self.peek()
+            if not (nt.value in (";", ")", "]", "}", ",") or nt.kind == "eof" or nt.nl_before):
+                arg = self.parse_assignment(no_in=no_in)
+            end = arg["end"] if arg else t.end
+            return self.node("YieldExpression", t.start, end, argument=arg)
+        if (t.kind == "id" and t.value == "async" and not self.peek(1).nl_before
+                and (self.peek(1).value == "function"
+                     or self.peek(1).kind == "id" and self.peek(2).value == "=>"
+                     or self.peek(1).value == "(")):
+            # async function-expression / async arrow: `async` is decorative
+            # for CPG purposes (await is handled as an operator)
+            save = self.pos
+            self.eat()
+            if self.at("function"):
+                return self.parse_function(is_declaration=False)
+            arrow = self._try_arrow()
+            if arrow is not None:
+                arrow["async"] = True
+                arrow["start"] = t.start
+                return arrow
+            self.pos = save
         arrow = self._try_arrow()
         if arrow is not None:
             return arrow
