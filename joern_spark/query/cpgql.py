@@ -252,6 +252,21 @@ class Steps:
     def controlled_by(self) -> "Steps":
         return self._closure("CDG", forward=False)
 
+    # --- tagging (NodeSteps.scala:98-117: newTagNode → TAG + TAGGED_BY) -------
+    def new_tag_node(self, name: str) -> "Steps":
+        from joern_spark.cpg.core import Node
+        for n in self.nodes:
+            tag = Node("TAG", name=name, code=name)
+            self.cpg.add_node(tag)
+            self.cpg.add_edge(n, tag, "TAGGED_BY")
+        return self
+
+    def tag(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            out.extend(e.dst for e in self.cpg.out(n, "TAGGED_BY"))
+        return Steps(self.cpg, out)
+
     # --- operator views -------------------------------------------------------
     def assignment(self) -> "Steps":
         return self.filter(lambda n: n.label == "CALL" and n.name in ALL_ASSIGNMENT_TYPES)

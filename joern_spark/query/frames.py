@@ -146,17 +146,22 @@ class Trav:
         t = self._hop("AST", forward=True)
         return Trav(self.g, t.df().where(F.col("label") == "METHOD_RETURN"))
 
-    # --- transitive AST closure (bounded iterative join; SURVEY §2B `.ast`) ---
-    def ast(self, max_depth: int = 64) -> "Trav":
-        e = self.g.edges.where(F.col("label") == "AST").select("url", "src", "dst")
+    # --- transitive closures (bounded iterative joins; SURVEY §2B `.ast`,
+    # `.dominates`, `.controls`, ...) — one distributed hash join per hop,
+    # co-keyed on (url, node_id); `localCheckpoint` bounds lineage growth ---
+    def closure(self, edge_label: str, forward: bool = True,
+                max_depth: int = 64, include_self: bool = True) -> "Trav":
+        e = self.g.edges.where(F.col("label") == edge_label).select("url", "src", "dst")
+        src_col, dst_col = ("src", "dst") if forward else ("dst", "src")
         frontier = self.cursors()
         acc = frontier
         for i in range(max_depth):
             step = (frontier.alias("f")
                     .join(e.alias("e"),
                           [F.col("f.url") == F.col("e.url"),
-                           F.col("f.node_id") == F.col("e.src")])
-                    .select(F.col("f.url").alias("url"), F.col("e.dst").alias("node_id"))
+                           F.col("f.node_id") == F.col(f"e.{src_col}")])
+                    .select(F.col("f.url").alias("url"),
+                            F.col(f"e.{dst_col}").alias("node_id"))
                     .distinct())
             new = step.subtract(acc)
             if (i + 1) % 8 == 0:
@@ -165,7 +170,53 @@ class Trav:
                 break
             acc = acc.union(new)
             frontier = new
+        if not include_self:
+            acc = acc.subtract(self.cursors())
         return Trav(self.g, acc.join(self.g.nodes, ["url", "node_id"]))
+
+    def ast(self, max_depth: int = 64) -> "Trav":
+        return self.closure("AST", forward=True, max_depth=max_depth)
+
+    def _pair_closure(self, edge_label: str, forward: bool) -> "Trav":
+        """Transitive closure by pointer doubling: R ← R ∪ (R ⋈ R), so a
+        depth-d chain closes in ⌈log2 d⌉ joins instead of d — dominator
+        chains are linear in the statement count, which makes per-hop BFS
+        O(d) shuffles; doubling makes it O(log d)."""
+        e = self.g.edges.where(F.col("label") == edge_label)
+        a, b = ("src", "dst") if forward else ("dst", "src")
+        pairs = e.select("url", F.col(a).alias("a"), F.col(b).alias("b")).distinct()
+        pairs = pairs.localCheckpoint(eager=True)
+        for _ in range(7):  # 2^7 = 128 depth bound
+            hop = (pairs.alias("l")
+                   .join(pairs.alias("r"),
+                         [F.col("l.url") == F.col("r.url"),
+                          F.col("l.b") == F.col("r.a")])
+                   .select(F.col("l.url").alias("url"), F.col("l.a").alias("a"),
+                           F.col("r.b").alias("b"))
+                   .distinct())
+            new = hop.subtract(pairs)
+            if new.isEmpty():
+                break
+            pairs = pairs.union(new).distinct().localCheckpoint(eager=True)
+        reach = (self.cursors().alias("c")
+                 .join(pairs.alias("p"),
+                       [F.col("c.url") == F.col("p.url"),
+                        F.col("c.node_id") == F.col("p.a")])
+                 .select(F.col("c.url").alias("url"), F.col("p.b").alias("node_id"))
+                 .distinct())
+        return Trav(self.g, reach.join(self.g.nodes, ["url", "node_id"]))
+
+    def dominates(self) -> "Trav":
+        return self._pair_closure("DOMINATE", forward=True)
+
+    def dominated_by(self) -> "Trav":
+        return self._pair_closure("DOMINATE", forward=False)
+
+    def controls(self) -> "Trav":
+        return self._pair_closure("CDG", forward=True)
+
+    def controlled_by(self) -> "Trav":
+        return self._pair_closure("CDG", forward=False)
 
     # --- semi/anti (where / whereNot) -------------------------------------------
     def where_exists(self, inner: "Trav") -> "Trav":
@@ -183,3 +234,9 @@ class Trav:
 
     def count_by_url(self) -> DataFrame:
         return self._df.groupBy("url").agg(F.count(F.lit(1)).alias("n"))
+
+    # --- tagging: corpus-level tags are an append-only dimension table
+    # (url, node_id, tag) unioned per query — the Spark form of
+    # newTagNode/TAGGED_BY (NodeSteps.scala:98-117)
+    def tag_rows(self, tag: str) -> DataFrame:
+        return self.cursors().withColumn("tag", F.lit(tag))

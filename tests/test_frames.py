@@ -71,3 +71,19 @@ def test_vectors(spark, graph):
     toks = {r.token for r in bag.select("token").distinct().collect()}
     assert "read" in toks or "sink" in toks
     assert not any(t.startswith("<operator>") for t in toks)
+
+
+def test_dataframe_closures_and_tags(spark, graph):
+    nodes, edges = graph
+    g = CpgFrames(nodes, edges)
+    # CDG closure over frames agrees with the per-document engine shape:
+    # in flows1 docs, `mode == 1` controls `sz = 20`
+    branches = g.calls().code_rlike(r"mode == 1")
+    controlled = branches.controls()
+    codes = {r.code for r in controlled.df().select("code").distinct().collect()}
+    assert "sz = 20" in codes
+    # tagging: tag rows for the branch cursors
+    tags = branches.tag_rows("branch-on-mode")
+    n = tags.count()
+    assert n > 0
+    assert {r.tag for r in tags.select("tag").distinct().collect()} == {"branch-on-mode"}
