@@ -143,6 +143,7 @@ class AstLowerer:
         self.function_key_to_name: dict[str, tuple[str, str]] = {}
         self.closure_counter = 0
         self.scope_name_stack: list[str] = []
+        self._pending_inherits: list[tuple[str, str]] = []
         # line index
         self.line_starts = [0]
         for i, ch in enumerate(src):
@@ -279,7 +280,22 @@ class AstLowerer:
             self.scope.pop()
         self._add_contains_edges()
         self._link_parameter_outs()
+        self._add_file_and_type_edges()
+        self._link_inheritance()
         return self.cpg
+
+    def _link_inheritance(self):
+        """TypeHierarchyPass equivalent: INHERITS_FROM between TYPE_DECLs
+        recorded during class lowering (x2cpg typerelations)."""
+        decls_by_name = {}
+        for n in self.cpg.nodes:
+            if n.label == "TYPE_DECL":
+                decls_by_name.setdefault(n.name, n)
+        for child_name, super_name in self._pending_inherits:
+            child = decls_by_name.get(child_name)
+            sup = decls_by_name.get(super_name)
+            if child is not None and sup is not None:
+                self.cpg.add_edge(child, sup, "INHERITS_FROM")
 
     def _program_method(self, program) -> Ast:
         name = ":program"
@@ -1432,6 +1448,8 @@ class AstLowerer:
     # classes (basic) ---------------------------------------------------------------
     def _ast_class_declaration(self, js) -> Ast:
         name = js["id"]["name"] if js.get("id") else f"<anon-class>{self.closure_counter}"
+        if js.get("superClass") and js["superClass"].get("type") == "Identifier":
+            self._pending_inherits.append((name, js["superClass"]["name"]))
         full_name = f"{self.filename}:{':'.join(self.scope_name_stack)}:{name}"
         td = Node("TYPE_DECL", name=name, full_name=full_name, code=self.code_of_node(js),
                   filename=self.filename, **self._pos(js))
@@ -1519,6 +1537,33 @@ class AstLowerer:
         return Ast(Node("UNKNOWN", code=self.code_of_node(js), **self._pos(js)))
 
     # post passes ------------------------------------------------------------------
+    def _add_file_and_type_edges(self):
+        """FileCreationPass (x2cpg FileCreationPass.scala:12-18): SOURCE_FILE
+        edges from filename-carrying nodes to the FILE node; and
+        TypeEval/TypeRefPass (TypeEvalPass.scala:9-12, TypeRefPass.scala:9-12):
+        TYPE nodes per used typeFullName, EVAL_TYPE from expressions, REF from
+        TYPE to a matching TYPE_DECL."""
+        file_node = next((n for n in self.cpg.nodes if n.label == "FILE"), None)
+        if file_node is not None:
+            for n in self.cpg.nodes:
+                if n.label in ("METHOD", "TYPE_DECL", "NAMESPACE_BLOCK") and n.filename:
+                    self.cpg.add_edge(n, file_node, "SOURCE_FILE")
+        # TYPE nodes for every non-ANY typeFullName in use
+        type_nodes: dict[str, Node] = {}
+        decls = {n.full_name: n for n in self.cpg.nodes if n.label == "TYPE_DECL"}
+        for n in list(self.cpg.nodes):
+            t = n.type_full_name
+            if not t or t == "ANY" or not n.is_expression:
+                continue
+            tn = type_nodes.get(t)
+            if tn is None:
+                tn = Node("TYPE", name=t.rsplit(".", 1)[-1], full_name=t, code=t)
+                self.cpg.add_node(tn)
+                type_nodes[t] = tn
+                if t in decls:
+                    self.cpg.add_edge(tn, decls[t], "REF")
+            self.cpg.add_edge(n, tn, "EVAL_TYPE")
+
     def _add_contains_edges(self):
         """ContainsEdgePass: METHOD -CONTAINS-> every AST node within the
         method body, not descending into nested methods/type decls."""

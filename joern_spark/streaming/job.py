@@ -102,21 +102,42 @@ def session_findings(pages: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 def exactly_once_batch_writer(out_dir: str):
     """foreachBatch sink: deterministic epoch path + overwrite = idempotent
-    under replay; carries batch lineage and writes a metrics row."""
+    under replay.  Every row carries its lineage (batch_id + the shuffle
+    partition that produced it); a metrics table records per-partition row
+    counts per epoch (north_rule: "per-partition lineage + metrics")."""
 
     def write(batch_df: DataFrame, batch_id: int):
-        rows = batch_df.withColumn("batch_id", F.lit(batch_id))
+        rows = (batch_df
+                .withColumn("batch_id", F.lit(batch_id))
+                .withColumn("src_partition", F.spark_partition_id()))
+        rows.persist()
         (rows.coalesce(1).write.mode("overwrite")
          .parquet(os.path.join(out_dir, "findings", f"epoch={batch_id}")))
-        spark = batch_df.sparkSession
-        n = rows.count()
-        metrics = spark.createDataFrame(
-            [(int(batch_id), int(n), int(rows.rdd.getNumPartitions()))],
-            "batch_id long, n_rows long, n_partitions long")
-        (metrics.write.mode("overwrite")
+        metrics = (rows.groupBy("batch_id", "src_partition")
+                   .agg(F.count(F.lit(1)).alias("n_rows"),
+                        F.sum("n_matches").alias("n_matches")))
+        (metrics.coalesce(1).write.mode("overwrite")
          .parquet(os.path.join(out_dir, "metrics", f"epoch={batch_id}")))
+        rows.unpersist()
 
     return write
+
+
+def write_findings_partitioned(findings: DataFrame, out_dir: str,
+                               n_domain_buckets: int = 64):
+    """Batch sink with the production table layout (docs/DEPLOY.md): range
+    partitioned by (day of warc_ts, hash-bucket of domain) — the parquet
+    stand-in for an Iceberg `days(warc_ts), bucket(url)` partition spec.
+    Hot domains spread across buckets by the url hash, not the domain, so a
+    single hot domain cannot pin one partition."""
+    domain = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    out = (findings
+           .withColumn("day", F.to_date("warc_ts"))
+           .withColumn("domain_bucket", F.abs(F.hash("url")) % n_domain_buckets))
+    (out.repartition("day", "domain_bucket")
+     .write.mode("overwrite")
+     .partitionBy("day", "domain_bucket")
+     .parquet(out_dir))
 
 
 def run_stream(spark: SparkSession, pages_dir: str, out_dir: str,
