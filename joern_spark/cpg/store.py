@@ -1,0 +1,34 @@
+"""CPG table persistence — the `cpg.bin` / importCpg equivalent
+(reference: CpgBasedTool.scala:8-15, DefaultOverlays.scala:11).
+
+The store is two parquet table trees (nodes/, edges/) range-partitioned by
+(domain_bucket) — the parquet stand-in for Iceberg `bucket(url)` partition
+spec — so downstream per-url joins (CPGQL frames, reachability) can prune
+to the buckets they touch.  Node ids are content-derived, so re-running
+the build over the same pages MERGEs idempotently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def save_cpg_tables(nodes: DataFrame, edges: DataFrame, out_dir: str,
+                    n_domain_buckets: int = 64, mode: str = "overwrite"):
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "domain_bucket", F.abs(F.hash("url")) % n_domain_buckets)
+
+    (bucketed(nodes).repartition("domain_bucket")
+     .write.mode(mode).partitionBy("domain_bucket").parquet(f"{out_dir}/nodes"))
+    (bucketed(edges).repartition("domain_bucket")
+     .write.mode(mode).partitionBy("domain_bucket").parquet(f"{out_dir}/edges"))
+
+
+def load_cpg_tables(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
+    """importCpg: load the persisted graph; partition pruning on
+    domain_bucket comes free from the directory layout."""
+    nodes = spark.read.parquet(f"{out_dir}/nodes").drop("domain_bucket")
+    edges = spark.read.parquet(f"{out_dir}/edges").drop("domain_bucket")
+    return nodes, edges
