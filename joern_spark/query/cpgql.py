@@ -252,6 +252,183 @@ class Steps:
     def controlled_by(self) -> "Steps":
         return self._closure("CDG", forward=False)
 
+    # --- generic repeat/emit/until (flatgraph repeat semantics) ----------------
+    def repeat(self, step, until=None, max_depth: int = 64, emit: bool = True) -> "Steps":
+        """repeat(_.step)(_.emit.until(cond)): union of all iterations'
+        frontiers (emit), stopping expansion at nodes matching `until`."""
+        out, seen = [], set()
+        frontier = list(self.nodes)
+        for _ in range(max_depth):
+            if not frontier:
+                break
+            if emit:
+                for n in frontier:
+                    if n.id not in seen:
+                        seen.add(n.id)
+                        out.append(n)
+            stop = set()
+            if until is not None:
+                stop = {n.id for n in frontier
+                        if until(Steps(self.cpg, [n])).size() > 0}
+            nxt_nodes = step(Steps(self.cpg, [n for n in frontier
+                                              if n.id not in stop])).l()
+            frontier = [n for n in nxt_nodes if n.id not in seen]
+        return Steps(self.cpg, out)
+
+    # --- more AST steps (AstNodeTraversal.scala:23-94) -------------------------
+    def ast_siblings(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            p = self.cpg.ast_parent(n)
+            if p is not None:
+                out.extend(c for c in self.cpg.ast_children(p) if c.id != n.id)
+        return Steps(self.cpg, out)
+
+    def ast_minus_root(self) -> "Steps":
+        roots = {n.id for n in self.nodes}
+        return self.ast().filter(lambda n: n.id not in roots)
+
+    def parent_block(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            cur = self.cpg.ast_parent(n)
+            while cur is not None and cur.label != "BLOCK":
+                cur = self.cpg.ast_parent(cur)
+            if cur is not None:
+                out.append(cur)
+        return Steps(self.cpg, out)
+
+    def depth(self) -> int:
+        """max AST depth over the traversal's roots."""
+        def d(n):
+            kids = self.cpg.ast_children(n)
+            return 1 + (max((d(k) for k in kids), default=0))
+        return max((d(n) for n in self.nodes), default=0)
+
+    def contains_call_to(self, regex: str) -> "Steps":
+        import re as _re
+        r = _re.compile(regex, _re.DOTALL)
+        return self.filter(lambda n: any(
+            x.label == "CALL" and r.fullmatch(x.code or "")
+            for x in self.cpg.ast_subtree(n)))
+
+    # --- more CFG steps (CfgNodeMethods.scala:18-39) ---------------------------
+    def cfg_next_n(self, n_hops: int) -> "Steps":
+        s = self
+        for _ in range(n_hops):
+            s = s.cfg_next()
+        return s
+
+    def cfg_first(self) -> "Steps":
+        return self.cfg_next()
+
+    def cfg_last(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            ret = self.cpg.method_return(n) if n.label == "METHOD" else None
+            if ret is not None:
+                out.extend(e.src for e in self.cpg.inn(ret, "CFG"))
+        return Steps(self.cpg, out)
+
+    # --- control-structure parts (ControlStructureTraversal.scala:19-59) ------
+    def condition(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            out.extend(e.dst for e in self.cpg.out(n, "CONDITION"))
+        return Steps(self.cpg, out)
+
+    def when_true(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            out.extend(e.dst for e in self.cpg.out(n, "TRUE_BODY"))
+        return Steps(self.cpg, out)
+
+    def when_false(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            out.extend(e.dst for e in self.cpg.out(n, "FALSE_BODY"))
+        return Steps(self.cpg, out)
+
+    def is_if(self) -> "Steps":
+        return self.filter(lambda n: n.control_structure_type == "IF")
+
+    def is_while(self) -> "Steps":
+        return self.filter(lambda n: n.control_structure_type == "WHILE")
+
+    # --- method structure (types/structure/MethodTraversal.scala:97-173) ------
+    def internal(self) -> "Steps":
+        return self.filter(lambda n: not n.is_external)
+
+    def external(self) -> "Steps":
+        return self.filter(lambda n: n.is_external)
+
+    def is_stub(self) -> "Steps":
+        from joern_spark.cpg.passes import is_stub as _is_stub
+        return self.filter(lambda n: n.label == "METHOD" and _is_stub(self.cpg, n))
+
+    def body(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            out.extend(c for c in self.cpg.ast_children(n) if c.label == "BLOCK")
+        return Steps(self.cpg, out)
+
+    def local(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            for x in self.cpg.ast_subtree(n):
+                if x.label == "LOCAL":
+                    out.append(x)
+        return Steps(self.cpg, out)
+
+    def number_of_lines(self) -> list[int]:
+        out = []
+        for n in self.nodes:
+            lines = [x.line for x in self.cpg.ast_subtree(n) if x.line is not None]
+            out.append(max(lines) - min(lines) + 1 if lines else 0)
+        return out
+
+    def typ(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            out.extend(e.dst for e in self.cpg.out(n, "EVAL_TYPE"))
+        return Steps(self.cpg, out)
+
+    def location(self) -> list[tuple[str, str, int]]:
+        """(filename, method name, line) per node (NodeSteps.location)."""
+        out = []
+        for n in self.nodes:
+            m = self.cpg.method_of(n)
+            out.append((self.cpg.filename, m.name if m else "<global>", n.line))
+        return out
+
+    def to_json(self) -> str:
+        import json
+        return json.dumps([
+            {"id": n.id, "label": n.label, "name": n.name, "code": n.code,
+             "line": n.line} for n in self.nodes])
+
+    # --- operator views (operatorextension package.scala:5-55) -----------------
+    ARITHMETIC_NAMES = {
+        "<operator>.addition", "<operator>.subtraction",
+        "<operator>.multiplication", "<operator>.division", "<operator>.modulo",
+        "<operator>.exponentiation",
+    }
+
+    def arithmetic(self) -> "Steps":
+        return self.filter(lambda n: n.label == "CALL" and n.name in Steps.ARITHMETIC_NAMES)
+
+    def array_access(self) -> "Steps":
+        return self.filter(lambda n: n.label == "CALL"
+                           and n.name == "<operator>.indexAccess")
+
+    def target(self) -> "Steps":
+        """assignment target = argument(1) (AssignmentTraversal.scala:13-16)."""
+        return self.argument(1)
+
+    def source(self) -> "Steps":
+        """assignment source = argument(2)."""
+        return self.argument(2)
+
     # --- tagging (NodeSteps.scala:98-117: newTagNode → TAG + TAGGED_BY) -------
     def new_tag_node(self, name: str) -> "Steps":
         from joern_spark.cpg.core import Node
