@@ -30,7 +30,7 @@ def build_cpg(src: str, filename: str = "script.js",
     create_method_stubs(cpg)
     link_calls(cpg)
     add_cfg(cpg)
-    add_dominators(cpg)
-    add_cdg(cpg)
+    ipdoms = add_dominators(cpg)
+    add_cdg(cpg, ipdoms)
     add_reaching_defs(cpg, semantics or _SEMANTICS)
     return cpg

@@ -213,9 +213,11 @@ class Cpg:
         self.nodes: list[Node] = []
         self.edges: list[Edge] = []
         self._node_ids = set()
-        # adjacency indexes (built lazily)
-        self._out: Optional[dict[int, dict[str, list[Edge]]]] = None
-        self._in: Optional[dict[int, dict[str, list[Edge]]]] = None
+        # adjacency indexes, maintained incrementally by add_edge
+        self._out: dict[int, dict[str, list[Edge]]] = {}
+        self._in: dict[int, dict[str, list[Edge]]] = {}
+        # sorted-AST-children cache (invalidated on AST edge insert)
+        self._ast_kids: dict[int, list[Node]] = {}
         # closure capture records: (declaration Node, capturing method Node)
         self.captures: list[tuple[Node, Node]] = []
 
@@ -226,39 +228,34 @@ class Cpg:
             self._node_ids.add(id(node))
         return node
 
+    _EMPTY: dict = {}
+
     def add_edge(self, src: Node, dst: Node, label: str, variable: str = ""):
         self.add_node(src)
         self.add_node(dst)
         e = Edge(src, dst, label, variable)
         self.edges.append(e)
         # keep the adjacency index incremental: passes interleave edge
-        # insertion with traversal (DDG generation), so invalidating here
-        # would rebuild O(E) per edge = O(E²) per document
-        if self._out is not None:
-            self._out.setdefault(e.src.id, {}).setdefault(e.label, []).append(e)
-            self._in.setdefault(e.dst.id, {}).setdefault(e.label, []).append(e)
+        # insertion with traversal (DDG generation), so rebuilding per edge
+        # would be O(E²) per document
+        self._out.setdefault(src.id, {}).setdefault(label, []).append(e)
+        self._in.setdefault(dst.id, {}).setdefault(label, []).append(e)
+        if label == "AST":
+            self._ast_kids.pop(src.id, None)
 
     # --- traversal helpers ---------------------------------------------------
-    def _build_index(self):
-        if self._out is not None:
-            return
-        self._out = {}
-        self._in = {}
-        for e in self.edges:
-            self._out.setdefault(e.src.id, {}).setdefault(e.label, []).append(e)
-            self._in.setdefault(e.dst.id, {}).setdefault(e.label, []).append(e)
-
     def out(self, node: Node, label: str) -> list[Edge]:
-        self._build_index()
-        return self._out.get(node.id, {}).get(label, [])
+        return self._out.get(node.id, Cpg._EMPTY).get(label, [])
 
     def inn(self, node: Node, label: str) -> list[Edge]:
-        self._build_index()
-        return self._in.get(node.id, {}).get(label, [])
+        return self._in.get(node.id, Cpg._EMPTY).get(label, [])
 
     def ast_children(self, node: Node) -> list[Node]:
-        kids = [e.dst for e in self.out(node, "AST")]
-        kids.sort(key=lambda n: n.order)
+        kids = self._ast_kids.get(node.id)
+        if kids is None:
+            kids = [e.dst for e in self.out(node, "AST")]
+            kids.sort(key=lambda n: n.order)
+            self._ast_kids[node.id] = kids
         return kids
 
     def ast_parent(self, node: Node) -> Optional[Node]:

@@ -103,16 +103,23 @@ def _immediate_dominators(g: _DomGraph) -> dict[int, Node]:
     return {k: v for k, v in idom.items() if v is not None}
 
 
-def add_dominators(cpg: Cpg):
-    """DOMINATE / POST_DOMINATE edges: immediate (post)dominator → node."""
+def add_dominators(cpg: Cpg) -> dict[int, dict[int, Node]]:
+    """DOMINATE / POST_DOMINATE edges: immediate (post)dominator → node.
+    Returns {method_id: ipdom map} so add_cdg can reuse the post-dominator
+    trees instead of recomputing them."""
     id_to_node = {n.id: n for n in cpg.nodes}
+    ipdoms: dict[int, dict[int, Node]] = {}
     for method in cpg.methods():
         if method.is_external:
             continue
         for reverse, label in ((False, "DOMINATE"), (True, "POST_DOMINATE")):
             g = _DomGraph(cpg, method, reverse)
-            for nid, dom in _immediate_dominators(g).items():
+            idom = _immediate_dominators(g)
+            if reverse:
+                ipdoms[method.id] = idom
+            for nid, dom in idom.items():
                 cpg.add_edge(dom, id_to_node[nid], label)
+    return ipdoms
 
 
 _CDG_SOURCE_LABELS = {
@@ -121,7 +128,7 @@ _CDG_SOURCE_LABELS = {
 }
 
 
-def add_cdg(cpg: Cpg):
+def add_cdg(cpg: Cpg, ipdoms: dict[int, dict[int, Node]] | None = None):
     """CDG edges via the post-dominance frontier (CdgPass.scala:24-66 +
     CfgDominatorFrontier.scala): for each branch node (≥2 CFG successors),
     walk each successor up the immediate-post-dominator tree until the
@@ -131,7 +138,10 @@ def add_cdg(cpg: Cpg):
         if method.is_external:
             continue
         g = _DomGraph(cpg, method, reverse=True)
-        ipdom = _immediate_dominators(g)  # immediate POST-dominators
+        if ipdoms is not None and method.id in ipdoms:
+            ipdom = ipdoms[method.id]
+        else:
+            ipdom = _immediate_dominators(g)  # immediate POST-dominators
         frontier: dict[int, set[int]] = {}
         by_id = {n.id: n for n in g.nodes}
         for node in g.nodes:

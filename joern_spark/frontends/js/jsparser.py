@@ -30,6 +30,12 @@ PUNCT = [
     "{", "}", "(", ")", "[", "]", ";", ",", "<", ">", "+", "-", "*", "/",
     "%", "&", "|", "^", "!", "~", "?", ":", "=", ".", "@",
 ]
+# index by first char, longest-first (tokenizer tries only relevant ones)
+_PUNCT_BY_FIRST: dict[str, list[str]] = {}
+for _p in PUNCT:
+    _PUNCT_BY_FIRST.setdefault(_p[0], []).append(_p)
+for _lst in _PUNCT_BY_FIRST.values():
+    _lst.sort(key=len, reverse=True)
 
 ID_START = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_$")
 ID_CONT = ID_START | set("0123456789")
@@ -168,7 +174,7 @@ def tokenize(src: str) -> list[Token]:
                     nl = False
                     i = j
                     continue
-        for p in PUNCT:
+        for p in _PUNCT_BY_FIRST.get(c, ()):
             if src.startswith(p, i):
                 # `?.` followed by digit is `?` then `.`(decimal) — ignore edge case
                 toks.append(Token("punct", p, start, i + len(p), nl))

@@ -17,7 +17,7 @@ import subprocess
 import sys
 import time
 
-N_DOCS_DEFAULT = 32768
+N_DOCS_DEFAULT = 65536
 N_PARTITIONS = 128  # fixed across runs: identical input AND partitioning
 
 
