@@ -99,3 +99,50 @@ def scan_findings(pages: DataFrame, bundle: list[Query] | None = None) -> DataFr
             yield pd.DataFrame(rows, columns=cols)
 
     return pages.select("url", "warc_ts", "html").mapInPandas(run, FINDINGS_SCHEMA)
+
+
+def findings_report(findings: DataFrame) -> DataFrame:
+    """joern-scan report shape (scan/package.scala:103-115): one line per
+    finding, sorted by score descending."""
+    from pyspark.sql import functions as F
+
+    return (findings.where(F.col("query_name") != "<parse-error>")
+            .select(
+                F.col("score"), F.col("query_name"), F.col("url"),
+                F.concat(F.lit("Result: "), F.col("score").cast("string"),
+                         F.lit(" : "), F.col("query_name"), F.lit(": "),
+                         F.col("n_matches").cast("string"), F.lit(" match(es) in "),
+                         F.col("url")).alias("line"))
+            .orderBy(F.desc("score"), F.asc("query_name"), F.asc("url")))
+
+
+def findings_sarif(findings: DataFrame) -> str:
+    """Minimal SARIF 2.1.0 document for a findings DataFrame (the reference
+    exposes SARIF via semanticcpg SarifExtension; we emit the equivalent
+    run/results shape).  Collects to the driver — intended for bounded
+    report-sized outputs, not the full corpus."""
+    import json
+
+    rows = findings.collect()
+    rules = sorted({r.query_name for r in rows if r.query_name != "<parse-error>"})
+    return json.dumps({
+        "version": "2.1.0",
+        "$schema": "https://json.schemastore.org/sarif-2.1.0.json",
+        "runs": [{
+            "tool": {"driver": {
+                "name": "joern-spark",
+                "rules": [{"id": q} for q in rules],
+            }},
+            "results": [
+                {
+                    "ruleId": r.query_name,
+                    "level": "error" if r.score >= 7 else "warning",
+                    "message": {"text": f"{r.n_matches} match(es)"},
+                    "locations": [{
+                        "physicalLocation": {
+                            "artifactLocation": {"uri": r.url}}}],
+                }
+                for r in rows if r.query_name != "<parse-error>"
+            ],
+        }],
+    })
