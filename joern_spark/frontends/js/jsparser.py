@@ -384,6 +384,10 @@ class Parser:
                 computed = False
                 if self.opt(":"):
                     value = self.parse_binding_target()
+                    if self.opt("="):
+                        dflt = self.parse_assignment()
+                        value = self.node("AssignmentPattern", value["start"], dflt["end"],
+                                          left=value, right=dflt)
                 elif self.opt("="):
                     dflt = self.parse_assignment()
                     value = self.node("AssignmentPattern", key["start"], dflt["end"],

@@ -8,14 +8,7 @@ from __future__ import annotations
 from joern_spark.cpg.build import build_cpg
 
 
-def succ_of(cpg, code, occurrence=0, label=None):
-    matches = [n for n in cpg.nodes
-               if n.code == code and (label is None or n.label == label)
-               and n.is_cfg_node]
-    matches.sort(key=lambda n: n.id)
-    n = matches[occurrence]
-    return {(e.dst.code if e.dst.label != "METHOD_RETURN" else "RET", e.variable)
-            for e in cpg.out(n, "CFG")}
+from tests.cfg_helpers import succ_pairs as succ_of  # noqa: E402
 
 
 # MixedCfgCreationPassTests.scala:15-35
