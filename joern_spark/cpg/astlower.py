@@ -144,6 +144,7 @@ class AstLowerer:
         self.closure_counter = 0
         self.scope_name_stack: list[str] = []
         self._pending_inherits: list[tuple[str, str]] = []
+        self._anon_class_counter = 0
         # line index
         self.line_starts = [0]
         for i, ch in enumerate(src):
@@ -1446,8 +1447,12 @@ class AstLowerer:
         return Ast(block).with_children(children)
 
     # classes (basic) ---------------------------------------------------------------
-    def _ast_class_declaration(self, js) -> Ast:
-        name = js["id"]["name"] if js.get("id") else f"<anon-class>{self.closure_counter}"
+    def _ast_class(self, js, create_assignment: bool) -> Ast:
+        if js.get("id"):
+            name = js["id"]["name"]
+        else:
+            name = f"<anon-class>{self._anon_class_counter}"
+            self._anon_class_counter += 1
         if js.get("superClass") and js["superClass"].get("type") == "Identifier":
             self._pending_inherits.append((name, js["superClass"]["name"]))
         full_name = f"{self.filename}:{':'.join(self.scope_name_stack)}:{name}"
@@ -1476,9 +1481,23 @@ class AstLowerer:
         self.method_parent_stack.pop()
         td_ast.store(self.cpg)
         self.cpg.add_edge(self.method_parent_stack[-1], td, "AST")
-        return Ast()
+        # the class VALUE is a TypeRef (astForClass: TypeRef with code
+        # "class <name>"); declarations additionally assign it to the name
+        type_ref = Node("TYPE_REF", code=f"class {name}", type_full_name=td.full_name,
+                        **self._pos(js))
+        if create_assignment:
+            id_node = self.identifier_node(js, name)
+            self.scope.add_reference(name, id_node)
+            return self.assignment_call(
+                Ast(id_node), Ast(type_ref), f"class {name}",
+                self.line_of(js["start"]), self.col_of(js["start"]))
+        return Ast(type_ref)
 
-    _ast_class_expression = _ast_class_declaration
+    def _ast_class_declaration(self, js) -> Ast:
+        return self._ast_class(js, create_assignment=True)
+
+    def _ast_class_expression(self, js) -> Ast:
+        return self._ast_class(js, create_assignment=False)
 
     # imports / exports ----------------------------------------------------------
     def _ast_import_declaration(self, js) -> Ast:
