@@ -12,7 +12,10 @@ def cfg_nodes_in_fixture_order(cpg):
     methods.sort(key=lambda m: 0 if m.name == ":program" else 1)
     for m in methods:
         for n in cpg.ast_subtree(m):
-            if n.is_cfg_node:
+            # exclude METHOD_PARAMETER_OUT: the reference CFG fixture runs
+            # only frontend+CFG passes, so paramOut nodes (a base-overlay
+            # artifact) don't exist in its node indexing
+            if n.is_cfg_node and n.label != "METHOD_PARAMETER_OUT":
                 out.append(n)
     return out
 

@@ -72,3 +72,38 @@ def test_two_nested_while_inner_break():
     assert succ(cpg, "y") == {"z", "RET"}
     assert succ(cpg, "z") == {"break", "y"}
     assert succ(cpg, "break") == {"y"}
+
+
+# SimpleCfgCreationPassTests.scala:729-774 (for-in/of iterator desugaring)
+def test_for_in_desugared_chain():
+    cpg = build_cpg("for (var i in arr) { foo(i) }")
+    assert succ(cpg, ":program") == {"_iterator_0"}
+    assert succ(cpg, "_iterator_0") == {"arr"}
+    assert succ(cpg, "arr") == {"<operator>.iterator(arr)"}
+    assert succ(cpg, "<operator>.iterator(arr)") == {"_iterator_0 = <operator>.iterator(arr)"}
+    assert succ(cpg, "_iterator_0 = <operator>.iterator(arr)") == {"_result_0"}
+    assert succ(cpg, "_result_0") == {"i"}
+    assert succ(cpg, "i") == {"_result_0"}
+    assert succ(cpg, "_result_0", 1) == {"_iterator_0"}
+    assert succ(cpg, "_iterator_0", 1) == {"next"}
+    assert succ(cpg, "next") == {"_iterator_0.next"}
+    assert succ(cpg, "_iterator_0.next") == {"_iterator_0"}
+    assert succ(cpg, "_iterator_0", 2) == {"_iterator_0.next()"}
+    assert succ(cpg, "_iterator_0.next()") == {"(_result_0 = _iterator_0.next())"}
+    assert succ(cpg, "(_result_0 = _iterator_0.next())") == {"done"}
+    assert succ(cpg, "done") == {"(_result_0 = _iterator_0.next()).done"}
+    assert succ(cpg, "(_result_0 = _iterator_0.next()).done") == {
+        "!(_result_0 = _iterator_0.next()).done"}
+    # loop test fans to loop var assignment (True) / outer block (False)
+    s = succ(cpg, "!(_result_0 = _iterator_0.next()).done")
+    assert "i" in s and any(c.startswith("for (var i") for c in s)
+    assert succ(cpg, "i", 1) == {"_result_0"}
+    assert succ(cpg, "_result_0", 2) == {"value"}
+    assert succ(cpg, "value") == {"_result_0.value"}
+    assert succ(cpg, "_result_0.value") == {"i = _result_0.value"}
+    assert succ(cpg, "i = _result_0.value") == {"foo"}
+    assert succ(cpg, "foo") == {"this"}
+    assert succ(cpg, "this", 1) == {"i"}  # this(0) is the :program parameter
+    assert succ(cpg, "i", 2) == {"foo(i)"}
+    assert succ(cpg, "foo(i)") == {"{ foo(i) }"}
+    assert succ(cpg, "{ foo(i) }") == {"_result_0"}
