@@ -165,6 +165,17 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (event_type, user bucket) — grouping-sets
+    operator coverage; NULL dimensions mark the rollup rows."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("int"))
+    return (ev.cube("event_type", "user_bucket")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value") * 100).cast("long").alias("value_cents")))
+
+
 def events_user_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof two-stage aggregation (pipeline.skew.salted_agg) — result
     is semantically identical to a plain GROUP BY, which is the oracle."""
@@ -382,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": events_top_users,
         "events_funnel": events_funnel,
         "events_user_totals_salted": events_user_totals_salted,
+        "events_cube": events_cube,
         "doc_token_counts": doc_token_counts,
         "doc_lang_id": doc_lang_id,
         "doc_quality": doc_quality,
@@ -564,6 +576,13 @@ def oracle_sql() -> dict[str, str]:
              AND p.purchase_ts > s.signup_ts
              AND p.purchase_ts <= s.signup_ts + INTERVAL '1 hour'
             GROUP BY s.user_id
+        """,
+        "events_cube": """
+            SELECT event_type, CAST(user_id % 4 AS INT) AS user_bucket,
+                   count(*) AS n_events,
+                   CAST(round(sum(value)*100) AS BIGINT) AS value_cents
+            FROM events
+            GROUP BY CUBE (event_type, (CAST(user_id % 4 AS INT)))
         """,
         "events_user_totals_salted": """
             SELECT user_id, count(*) AS n_events,

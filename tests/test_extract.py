@@ -67,3 +67,23 @@ def test_corpus_golden_text_matches_extractor():
     for i in (0, 7, 33):
         url, ts, html, text = page_for(i)
         assert extract_script_text(html.decode()) == text
+
+
+def test_multi_script_page_builds_one_program():
+    """Two <script> blocks on one page → one length-preserving text → one
+    CPG whose :program carries both scripts' functions (the reference
+    concatenates a file's scripts the same way: blanked gaps keep offsets)."""
+    from joern_spark.cpg.build import build_cpg
+    from joern_spark.query.cpgql import Q
+
+    html = ("<html><script>function a1() { source(); }</script>"
+            "<p>gap</p><script>function b2() { sink(a1()); }</script></html>")
+    text = extract_script_text(html)
+    assert len(text) == len(html)
+    cpg = build_cpg(text, "multi")
+    q = Q(cpg)
+    names = {m.name for m in cpg.methods()}
+    assert {"a1", "b2"} <= names
+    # cross-script call resolves (same program scope)
+    callees = {n.name for n in q.call().name_exact("a1").callee().l()}
+    assert "a1" in callees
