@@ -385,6 +385,7 @@ class UsageAnalyzer:
         self.cpg = cpg
         self.fg = fg
         self.inn = inn
+        self._uid_cache: dict[int, dict[int, set[int]]] = {}
 
     def uses(self, node: Node) -> list[Node]:
         if node.label == "RETURN":
@@ -447,7 +448,12 @@ class UsageAnalyzer:
                 or self.is_part(use, in_elem))
 
     def used_incoming_defs(self, node: Node) -> dict[int, set[int]]:
-        """use node-id → set of incoming definitions it uses."""
+        """use node-id → set of incoming definitions it uses (cached: the
+        DDG generator queries each node once for entry edges and once for
+        call/return handling)."""
+        cached = self._uid_cache.get(node.id)
+        if cached is not None:
+            return cached
         out: dict[int, set[int]] = {}
         for use in self.uses(node):
             ds = set()
@@ -455,6 +461,7 @@ class UsageAnalyzer:
                 if self.is_using(use, self.fg.num_to_node[d]):
                     ds.add(d)
             out[use.id] = ds
+        self._uid_cache[node.id] = out
         return out
 
 
