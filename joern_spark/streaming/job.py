@@ -56,15 +56,24 @@ def pages_stream(spark: SparkSession, pages_dir: str, files_per_trigger: int = 1
     )
 
 
-def windowed_findings(pages: DataFrame, set_watermark: bool = True) -> DataFrame:
+def windowed_findings(pages: DataFrame, set_watermark: bool = True,
+                      dedup: bool = False) -> DataFrame:
     """stream pages → findings → tumbling-window per-query counts.
     Works identically on batch and streaming DataFrames (Structured
-    Streaming's unified semantics).  Pass set_watermark=False when the
-    input chain already carries one (a watermark may be defined only once
-    per chain)."""
-    if set_watermark:
-        pages = pages.withWatermark("warc_ts", WATERMARK)
+    Streaming's unified semantics).
+
+    IMPORTANT: the watermark must be defined on the scan OUTPUT — an
+    `EventTimeWatermark` tag does not propagate through `mapInPandas`
+    (the UDF emits fresh attributes), so a pages-side watermark would let
+    arbitrarily late rows into the aggregation (verified via the analyzed
+    plan: the tag sat on warc_ts#in while the agg grouped warc_ts#out)."""
     findings = scan_findings(pages)
+    if set_watermark:
+        findings = findings.withWatermark("warc_ts", WATERMARK)
+    if dedup:
+        # streaming dedup keys (url, warc_ts, query) age out past the
+        # watermark — the "dedup keys in the state store" of the north_star
+        findings = findings.dropDuplicates(["url", "warc_ts", "query_name"])
     return (
         findings
         .groupBy(F.window("warc_ts", WINDOW).alias("win"), "query_name")
@@ -145,8 +154,7 @@ def run_stream(spark: SparkSession, pages_dir: str, out_dir: str,
                available_now: bool = False):
     """Start the streaming job; returns the StreamingQuery."""
     stream = pages_stream(spark, pages_dir)
-    stream = dedup_pages_stream(stream)  # sets the (single) watermark
-    counts = windowed_findings(stream, set_watermark=False)
+    counts = windowed_findings(stream, set_watermark=True, dedup=True)
     # update mode: every batch emits the refreshed counts of touched windows;
     # the sink upserts by (window, query) keeping the latest epoch — replays
     # rewrite identical epochs, so the upsert is idempotent (exactly-once).

@@ -61,8 +61,8 @@ def test_windowed_counts_match_batch(spark, corpus_dir):
         stream_rows = _run_to_completion(spark, corpus_dir, f"{base}/out", f"{base}/cp")
         got = {(str(r.window_start), r.query_name): (r.n_matches, r.n_docs)
                for r in stream_rows}
-        batch_pages = spark.read.parquet(corpus_dir).dropDuplicates(["url", "warc_ts"])
-        batch = job.windowed_findings(batch_pages).collect()
+        batch_pages = spark.read.parquet(corpus_dir)
+        batch = job.windowed_findings(batch_pages, dedup=True).collect()
         expected = {(str(r.window_start), r.query_name): (r.n_matches, r.n_docs)
                     for r in batch}
         assert got == expected
@@ -126,3 +126,46 @@ def test_stream_stream_join(spark, corpus_dir):
     n_pages = spark.read.parquet(corpus_dir).count()
     assert len(rows) == n_pages, f"expected {n_pages} joined rows, got {len(rows)}"
     assert {r.fetch_status for r in rows} <= {200, 404}
+
+
+def test_watermark_drops_too_late_rows(spark):
+    """Watermark late-drop guarantee: with a single stateful operator
+    (spark.sql.streaming.statefulOperator.allowMultiple=false), rows
+    arriving behind the watermark are dropped and their window never
+    emits in append mode.  (With the default allowMultiple=true — which
+    our chained dedup+agg job needs — Spark 3.4+ intentionally relaxes
+    input-side late filtering to the previous-batch watermark, so
+    too-late rows may still be aggregated; the exactly-once sink and
+    state eviction are unaffected.)"""
+    import tempfile
+    from pyspark.sql import functions as F
+    from joern_spark.sources.corpus import make_pages
+
+    base = tempfile.mkdtemp(prefix="late_")
+    pages_dir = f"{base}/pages"
+    offsets = ["INTERVAL 10 HOURS", "INTERVAL 0 HOURS", "INTERVAL 20 HOURS"]
+    for off in offsets:
+        (make_pages(spark, n_docs=8, n_partitions=1)
+         .withColumn("warc_ts", F.col("warc_ts") + F.expr(off))
+         .coalesce(1).write.mode("append").parquet(pages_dir))
+        time.sleep(2)
+
+    spark.conf.set("spark.sql.streaming.statefulOperator.allowMultiple", "false")
+    try:
+        counts = job.windowed_findings(job.pages_stream(spark, pages_dir))
+        rows = []
+        q = (counts.writeStream.outputMode("append")
+             .option("checkpointLocation", f"{base}/cp")
+             .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        dropped = sum(s.get("numRowsDroppedByWatermark", 0)
+                      for p in q.recentProgress
+                      for s in (p.get("stateOperators") or []))
+    finally:
+        spark.conf.set("spark.sql.streaming.statefulOperator.allowMultiple", "true")
+
+    emitted = {str(r.window_start) for r in rows}
+    assert any(w.startswith("2024-01-01 10:") for w in emitted), emitted
+    assert not any(w.startswith("2024-01-01 00:") for w in emitted), emitted
+    assert dropped > 0, "late findings must be counted as dropped by the watermark"
