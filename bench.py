@@ -27,6 +27,9 @@ DEFAULT_BENCH = [
     "events_sliding",
     "events_sessions",
     "events_top_users",
+    "events_funnel",
+    "events_user_totals_salted",
+    "events_cube",
     "doc_token_counts",
     "doc_quality",
     "dedup_exact",

@@ -81,25 +81,41 @@ def random_hyperplane_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42, 
     return df.select("vec_id", "embedding", F.concat(*bit_exprs).alias("bucket"))
 
 
-def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8) -> DataFrame:
-    """Approximate top-k: only same-bucket candidates get exact cosine.
+def _multi_table_buckets(df: DataFrame, n_tables: int, n_planes: int, dim: int = 64) -> DataFrame:
+    """(vec_id, embedding, table, bucket): L independent hash tables of k
+    planes each (standard LSH construction — recall grows with L)."""
+    out = None
+    for t in range(n_tables):
+        b = random_hyperplane_buckets(df, n_planes, seed=42 + 1000 * t, dim=dim) \
+            .withColumn("table", F.lit(t))
+        out = b if out is None else out.unionByName(b)
+    return out
 
-    The join key (bucket) is near-uniform for random data; for skewed
-    buckets AQE skew-join splitting applies.  Recall < 1 by design; the
-    exactness baseline is `cosine_topk`.
+
+def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 n_planes: int = 6, n_tables: int = 8) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH: candidates = union over
+    L tables of same-bucket vectors, then exact cosine on candidates only.
+
+    The join key (table, bucket) is near-uniform; AQE splits any skewed
+    buckets.  Recall grows with n_tables (the scale lever); exactness
+    baseline is `cosine_topk` (recall measured in tests).
     """
-    c = random_hyperplane_buckets(corpus, n_planes).select(
+    c = _multi_table_buckets(corpus, n_tables, n_planes).select(
         F.col("vec_id").alias("nbr_id"),
         F.col("embedding").cast("array<double>").alias("c_emb"),
-        "bucket",
+        "table", "bucket",
     )
-    q = random_hyperplane_buckets(queries, n_planes).select(
+    q = _multi_table_buckets(queries, n_tables, n_planes).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
-        "bucket",
+        "table", "bucket",
     )
-    scored = c.join(F.broadcast(q), "bucket").where(F.col("query_id") != F.col("nbr_id"))
-    scored = scored.select("query_id", "nbr_id", _cos("q_emb", "c_emb").alias("cosine"))
+    cand = (c.join(F.broadcast(q), ["table", "bucket"])
+            .where(F.col("query_id") != F.col("nbr_id"))
+            .select("query_id", "nbr_id", "q_emb", "c_emb")
+            .dropDuplicates(["query_id", "nbr_id"]))
+    scored = cand.select("query_id", "nbr_id", _cos("q_emb", "c_emb").alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
