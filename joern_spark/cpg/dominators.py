@@ -149,11 +149,17 @@ def add_cdg(cpg: Cpg, ipdoms: dict[int, dict[int, Node]] | None = None):
             if len(succs) < 2:
                 continue
             join_ipdom = ipdom.get(node.id)
+            if join_ipdom is None:
+                # branch has no immediate post-dominator (region never
+                # reaches METHOD_RETURN) — the reference's Option-guarded
+                # CfgDominatorFrontier skips it; walking the whole ipdom
+                # chain here would mark every ancestor control-dependent.
+                continue
             for p in succs:
                 runner = p
                 guard = 0
                 while (runner is not None
-                       and (join_ipdom is None or runner.id != join_ipdom.id)
+                       and runner.id != join_ipdom.id
                        and guard < 100000):
                     frontier.setdefault(runner.id, set()).add(node.id)
                     runner = ipdom.get(runner.id)

@@ -4,8 +4,13 @@
 The store is two parquet table trees (nodes/, edges/) range-partitioned by
 (domain_bucket) — the parquet stand-in for Iceberg `bucket(url)` partition
 spec — so downstream per-url joins (CPGQL frames, reachability) can prune
-to the buckets they touch.  Node ids are content-derived, so re-running
-the build over the same pages MERGEs idempotently.
+to the buckets they touch.
+
+Idempotency: node ids are content-derived, so mode="overwrite" over the
+same pages is byte-stable.  Parquet mode="append" physically DUPLICATES
+rows on re-save (no merge in plain parquet); `load_cpg_tables` therefore
+dedups on the content keys by default, which restores logical idempotency
+for append-mode re-saves (the MERGE the Iceberg sink would do natively).
 """
 
 from __future__ import annotations
@@ -26,9 +31,19 @@ def save_cpg_tables(nodes: DataFrame, edges: DataFrame, out_dir: str,
      .write.mode(mode).partitionBy("domain_bucket").parquet(f"{out_dir}/edges"))
 
 
-def load_cpg_tables(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
+def load_cpg_tables(spark: SparkSession, out_dir: str,
+                    dedup: bool = True) -> tuple[DataFrame, DataFrame]:
     """importCpg: load the persisted graph; partition pruning on
-    domain_bucket comes free from the directory layout."""
+    domain_bucket comes free from the directory layout.
+
+    dedup=True drops physical duplicates left by append-mode re-saves
+    (content-derived ids make the row sets identical, so dropDuplicates on
+    the content keys is an exact merge); pass dedup=False to skip the
+    shuffle when the store was written with mode="overwrite".
+    """
     nodes = spark.read.parquet(f"{out_dir}/nodes").drop("domain_bucket")
     edges = spark.read.parquet(f"{out_dir}/edges").drop("domain_bucket")
+    if dedup:
+        nodes = nodes.dropDuplicates(["url", "node_id"])
+        edges = edges.dropDuplicates(["url", "src", "dst", "label", "variable"])
     return nodes, edges

@@ -35,8 +35,10 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
     rd = (edges.where(F.col("label") == "REACHING_DEF")
           .select("url", "src", "dst"))
 
+    # distinct up front so the union-without-distinct invariant below holds
+    # even if the caller's sinks frame carries duplicate (url, node_id) rows
     frontier = sinks.select("url", F.col("node_id").alias("cur"),
-                            F.col("node_id").alias("sink_id"))
+                            F.col("node_id").alias("sink_id")).distinct()
     visited = frontier
 
     for i in range(max_iterations):
@@ -52,7 +54,12 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
             new_frontier = new_frontier.localCheckpoint(eager=True)
         if new_frontier.isEmpty():
             break
-        visited = visited.union(new_frontier).distinct()
+        # new_frontier is disjoint from visited by construction (subtract
+        # above) — a plain union is exact; re-distincting the whole
+        # accumulated set every step would re-shuffle it per iteration.
+        visited = visited.union(new_frontier)
+        if (i + 1) % checkpoint_every == 0:
+            visited = visited.localCheckpoint(eager=True)
         frontier = new_frontier
 
     src = sources.select(F.col("url").alias("s_url"), F.col("node_id").alias("source_id"))

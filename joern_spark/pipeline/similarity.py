@@ -81,32 +81,99 @@ def random_hyperplane_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42, 
     return df.select("vec_id", "embedding", F.concat(*bit_exprs).alias("bucket"))
 
 
-def _multi_table_buckets(df: DataFrame, n_tables: int, n_planes: int, dim: int = 64) -> DataFrame:
-    """(vec_id, embedding, table, bucket): L independent hash tables of k
-    planes each (standard LSH construction — recall grows with L)."""
-    out = None
+def _plane_matrix(n_tables: int, n_planes: int, seed: int = 42, dim: int = 64):
+    """±1 plane matrix (n_tables·n_planes, dim) — the SAME arithmetic hash
+    pattern as `random_hyperplane_buckets` (sign = +1 iff
+    ((i*2654435761 + (seed_t+p)*40503) mod 97) < 48, seed_t = seed+1000·t),
+    so table t / plane p is identical in any engine, no RNG state."""
+    import numpy as np
+
+    i = np.arange(dim, dtype=np.int64)
+    rows = []
     for t in range(n_tables):
-        b = random_hyperplane_buckets(df, n_planes, seed=42 + 1000 * t, dim=dim) \
-            .withColumn("table", F.lit(t))
-        out = b if out is None else out.unionByName(b)
-    return out
+        st = seed + 1000 * t
+        for p in range(n_planes):
+            h = (i * 2654435761 + (st + p) * 40503) % 97
+            rows.append(np.where(h < 48, 1.0, -1.0))
+    return np.stack(rows)  # (n_tables * n_planes, dim)
+
+
+def _multi_table_buckets(df: DataFrame, n_tables: int, n_planes: int,
+                         dim: int = 64, multiprobe: int = 0) -> DataFrame:
+    """(vec_id, embedding, table, bucket): L independent hash tables of k
+    planes each (standard LSH construction — recall grows with L).
+
+    ONE pass over the input (VERDICT r1 item 3): all n_tables·n_planes
+    projections are a single numpy matmul per Arrow batch inside
+    mapInPandas, and the table/bucket rows are emitted directly from the
+    batch — no per-table corpus re-scan, no Catalyst lambda per bit.
+
+    multiprobe=r additionally emits every bucket within Hamming distance
+    ≤ r of the true bucket (query-side recall lever: probing neighbor
+    buckets is free when the probed side is broadcast-small).
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+    )
+
+    planes = _plane_matrix(n_tables, n_planes, dim=dim)  # captured in closure
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    # bucket-id flips for Hamming-distance-1 probes: XOR with each bit
+    flips = [0] + ([int(w) for w in weights] if multiprobe >= 1 else [])
+
+    out_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("table", IntegerType()),
+        StructField("bucket", LongType()),
+    ])
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (emb @ planes.T) > 0                        # (B, T*P)
+            bits = bits.reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2)             # (B, T)
+            reps = n_tables * len(flips)
+            vec_ids = np.repeat(pdf["vec_id"].to_numpy(), reps)
+            embs = pdf["embedding"].iloc[
+                np.repeat(np.arange(len(pdf)), reps)].reset_index(drop=True)
+            tables = np.tile(np.repeat(np.arange(n_tables), len(flips)), len(pdf))
+            probed = np.stack(
+                [buckets ^ fl for fl in flips], axis=2).reshape(-1)
+            yield pd.DataFrame({
+                "vec_id": vec_ids, "embedding": embs,
+                "table": tables.astype(np.int32), "bucket": probed,
+            })
+
+    return df.select("vec_id", "embedding").mapInPandas(run, out_schema)
 
 
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                 n_planes: int = 6, n_tables: int = 8) -> DataFrame:
+                 n_planes: int = 4, n_tables: int = 8,
+                 multiprobe: int = 1) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH: candidates = union over
-    L tables of same-bucket vectors, then exact cosine on candidates only.
+    L tables of same-bucket vectors (queries multiprobe Hamming-1 buckets),
+    then exact cosine on candidates only.
 
-    The join key (table, bucket) is near-uniform; AQE splits any skewed
-    buckets.  Recall grows with n_tables (the scale lever); exactness
-    baseline is `cosine_topk` (recall measured in tests).
+    The corpus side is scanned ONCE and never shuffled (the query side is
+    broadcast, so the bucket join is map-side); the only shuffles carry
+    candidate pairs.  Recall grows with n_tables and multiprobe radius
+    (the scale levers) and n_planes grows with log N to bound bucket size;
+    exactness baseline is `cosine_topk` (recall asserted ≥0.7 in tests).
     """
     c = _multi_table_buckets(corpus, n_tables, n_planes).select(
         F.col("vec_id").alias("nbr_id"),
         F.col("embedding").cast("array<double>").alias("c_emb"),
         "table", "bucket",
     )
-    q = _multi_table_buckets(queries, n_tables, n_planes).select(
+    q = _multi_table_buckets(queries, n_tables, n_planes,
+                             multiprobe=multiprobe).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
         "table", "bucket",

@@ -177,16 +177,21 @@ class Trav:
     def ast(self, max_depth: int = 64) -> "Trav":
         return self.closure("AST", forward=True, max_depth=max_depth)
 
-    def _pair_closure(self, edge_label: str, forward: bool) -> "Trav":
+    def _pair_closure(self, edge_label: str, forward: bool,
+                      max_doublings: int = 16) -> "Trav":
         """Transitive closure by pointer doubling: R ← R ∪ (R ⋈ R), so a
         depth-d chain closes in ⌈log2 d⌉ joins instead of d — dominator
         chains are linear in the statement count, which makes per-hop BFS
-        O(d) shuffles; doubling makes it O(log d)."""
+        O(d) shuffles; doubling makes it O(log d).
+
+        Runs to FIXPOINT (the isEmpty early-exit makes converged extra
+        iterations free); max_doublings=16 bounds depth at 65536 as a
+        runaway backstop and raises rather than silently dropping pairs."""
         e = self.g.edges.where(F.col("label") == edge_label)
         a, b = ("src", "dst") if forward else ("dst", "src")
         pairs = e.select("url", F.col(a).alias("a"), F.col(b).alias("b")).distinct()
         pairs = pairs.localCheckpoint(eager=True)
-        for _ in range(7):  # 2^7 = 128 depth bound
+        for it in range(max_doublings):
             hop = (pairs.alias("l")
                    .join(pairs.alias("r"),
                          [F.col("l.url") == F.col("r.url"),
@@ -197,7 +202,12 @@ class Trav:
             new = hop.subtract(pairs)
             if new.isEmpty():
                 break
-            pairs = pairs.union(new).distinct().localCheckpoint(eager=True)
+            # new is disjoint from pairs (subtracted) — plain union is exact
+            pairs = pairs.union(new).localCheckpoint(eager=True)
+        else:
+            raise RuntimeError(
+                f"{edge_label} closure did not converge within "
+                f"{max_doublings} doublings (depth 2^{max_doublings})")
         reach = (self.cursors().alias("c")
                  .join(pairs.alias("p"),
                        [F.col("c.url") == F.col("p.url"),

@@ -84,10 +84,9 @@ def make_pages(spark: SparkSession, n_docs: int = 256, seed: int = 42,
 def pages_from_documents(docs: DataFrame) -> DataFrame:
     """Derive a pages table from the driver's `documents` parquet table —
     ties the CPG pipeline to the graded testdata: html embeds the golden JS
-    snippet chosen by doc_id, page text carries the document text."""
+    snippet chosen by doc_id (plus the document text as body prose), and
+    `text` carries the golden extracted script text, same as make_pages."""
     n = len(SNIPPET_IDS)
-    sid = F.element_at(F.array(*[F.lit(s) for s in SNIPPET_IDS]),
-                       (F.col("doc_id") % n + 1).cast("int"))
     snippet = F.element_at(F.array(*[F.lit(SNIPPETS[s]) for s in SNIPPET_IDS]),
                            (F.col("doc_id") % n + 1).cast("int"))
     html = F.concat(
@@ -99,6 +98,9 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
         F.concat(F.lit("https://docs.example.com/doc-"), F.col("doc_id")).alias("url"),
         F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("doc_id") * 7).alias("warc_ts"),
         html.cast("binary").alias("html"),
-        sid.alias("text"),
+        # the golden extracted-script text for this page, matching
+        # make_pages: extract_script_text(html) == snippet + "\n" (the
+        # byte-identity invariant consumers assert against `text`)
+        F.concat(snippet, F.lit("\n")).alias("text"),
         F.col("lang"),
     )

@@ -101,6 +101,7 @@ def test_ann_recall_vs_brute_force(spark):
     approx = {(r.query_id, r.nbr_id) for r in ann_topk_lsh(emb, queries, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     # uniform random vectors are LSH's adversarial regime (all cosines ≈ 0);
-    # 0.2 is the usefulness floor here — clustered real embeddings do far
-    # better, and recall rises with n_tables (measured: 0.29@8, 0.33@16)
-    assert recall >= 0.2, f"ANN recall@5 collapsed: {recall:.2f}"
+    # with 8 tables × 4 planes + Hamming-1 query multiprobe the measured
+    # recall@5 is 0.82 here (0.56 without multiprobe); clustered real
+    # embeddings do far better.  Floor at 0.7 (VERDICT r1 item 3).
+    assert recall >= 0.7, f"ANN recall@5 collapsed: {recall:.2f}"
