@@ -298,8 +298,8 @@ def entry(spark: SparkSession) -> DataFrame:
     from joern_spark.sources.corpus import pages_from_documents
 
     sf_dir = "/root/testdata/sf0.001"
-    docs = load_table(spark, sf_dir, "documents").limit(64)
-    # limit() collapses to one partition — spread the Arrow build work
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    # a narrow filter can collapse parallelism — spread the Arrow build work
     pages = pages_from_documents(docs).repartition(spark.sparkContext.defaultParallelism)
     findings = scan_findings(pages)
     return (
@@ -322,7 +322,7 @@ def cpg_node_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from joern_spark.cpg.spark_build import build_cpg_tables
     from joern_spark.sources.corpus import pages_from_documents
 
-    docs = load_table(spark, sf_dir, "documents").limit(128)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 128)
     pages = pages_from_documents(docs).repartition(spark.sparkContext.defaultParallelism)
     nodes, _edges = build_cpg_tables(pages)
     return nodes.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -333,7 +333,7 @@ def cpg_build_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from joern_spark.query.scan import scan_findings
     from joern_spark.sources.corpus import pages_from_documents
 
-    docs = load_table(spark, sf_dir, "documents").limit(256)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 256)
     pages = pages_from_documents(docs).repartition(spark.sparkContext.defaultParallelism)
     findings = scan_findings(pages)
     return (
@@ -366,7 +366,7 @@ def cpg_reachable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from joern_spark.dataflow.reachable import reachable_pairs
     from joern_spark.sources.corpus import pages_from_documents
 
-    docs = load_table(spark, sf_dir, "documents").limit(64)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
     pages = pages_from_documents(docs).repartition(spark.sparkContext.defaultParallelism)
     nodes, edges = build_cpg_tables(pages)
     nodes = nodes.localCheckpoint(eager=True)
@@ -711,6 +711,29 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a, embeddings b
               WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0 AND a.vec_id < b.vec_id
             ) WHERE cosine >= 0.5
+        """,
+        # CPG queries: graph construction from JS is not SQL-expressible, so
+        # the oracle is a checked-in fixture computed by the PURE-PYTHON
+        # engine locally (tools/gen_cpg_fixtures.py) — it verifies the
+        # DISTRIBUTED orchestration reproduces the local engine, which is
+        # itself golden-verified against the reference's test suites.
+        "cpg_node_stats": """
+            SELECT label, CAST(n_nodes AS BIGINT) AS n_nodes
+            FROM read_csv_auto('/root/repo/fixtures/cpg_node_stats_sf001.csv', header=true)
+        """,
+        "cpg_build_flows": """
+            SELECT query_name, CAST(n_docs_flagged AS BIGINT) AS n_docs_flagged,
+                   CAST(n_matches AS BIGINT) AS n_matches
+            FROM read_csv_auto('/root/repo/fixtures/cpg_build_flows_sf001.csv', header=true)
+        """,
+        "cpg_scan_throughput": """
+            SELECT query_name, CAST(n_docs_flagged AS BIGINT) AS n_docs_flagged,
+                   CAST(n_matches AS BIGINT) AS n_matches
+            FROM read_csv_auto('/root/repo/fixtures/cpg_scan_throughput.csv', header=true)
+        """,
+        "cpg_reachable_pairs": """
+            SELECT url, CAST(n_pairs AS BIGINT) AS n_pairs
+            FROM read_csv_auto('/root/repo/fixtures/cpg_reachable_pairs_sf001.csv', header=true)
         """,
         # sim_ann_lsh, media_features: non-SQL-expressible here (LSH plane
         # arithmetic / binary decode stubs) → rows-only check.

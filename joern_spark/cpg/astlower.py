@@ -943,12 +943,12 @@ class AstLowerer:
                     base = self.identifier_node(target, pname)
                     self.scope.add_reference(pname, base)
                     line, col = self.line_of(target["start"]), self.col_of(target["start"])
-                    if t == "ObjectPattern":
-                        part = self.field_identifier_node(key or target, ename)
-                        access = self.field_access_call(Ast(base), part, line, col)
-                    else:
-                        keya = Ast(self.literal_node(target, str(i), "__ecma.Number"))
-                        access = self.index_access_call(Ast(base), keya, line, col)
+                    # BOTH pattern kinds use fieldAccess by element NAME in
+                    # parameters (AstForFunctionsCreator.scala:101-150: the
+                    # ArrayPattern branch emits `elem = paramN.elem`, unlike
+                    # array destructuring in declarations which indexes)
+                    part = self.field_identifier_node(key or target, ename)
+                    access = self.field_access_call(Ast(base), part, line, col)
                     extra_stmts.append(self.assignment_call(
                         Ast(lp), access, f"{ename} = {_code_of(access.root)}", line, col))
             else:  # Identifier

@@ -279,7 +279,14 @@ class Parser:
             if v in ("var", "let", "const"):
                 # `let` as identifier is ignored; fine for our corpus
                 n = self.parse_variable_declaration()
+                # Babel's VariableDeclaration span includes an explicit `;`
+                # (visible only in the multi-declarator BLOCK code, e.g.
+                # "var i, j;"; single-declarator codes use the declarator)
+                semi = self.peek()
                 self.semicolon()
+                if semi.kind == "punct" and semi.value == ";":
+                    n = dict(n)
+                    n["end"] = semi.end
                 return n
             if v == "function":
                 return self.parse_function(is_declaration=True)
@@ -310,7 +317,13 @@ class Parser:
                     label = self.parse_identifier()
                 typ = "BreakStatement" if v == "break" else "ContinueStatement"
                 end = label["end"] if label else t.end
+                # Babel's Break/ContinueStatement span INCLUDES an explicit
+                # trailing `;` (code "break;"), unlike return which strips it
+                # (astForReturnStatement: ret.code.stripSuffix(";"))
+                semi = self.peek()
                 self.semicolon()
+                if semi.kind == "punct" and semi.value == ";":
+                    end = semi.end
                 return self.node(typ, t.start, end, label=label)
             if v == "throw":
                 self.eat("throw")
@@ -352,7 +365,7 @@ class Parser:
             init = None
             if self.opt("="):
                 init = self.parse_assignment()
-            end = init["end"] if init else decl_id["end"]
+            end = init.get("paren_end", init["end"]) if init else decl_id["end"]
             decls.append(
                 self.node("VariableDeclarator", decl_id["start"], end, id=decl_id, init=init)
             )
@@ -951,9 +964,14 @@ class Parser:
         if t.value == "(":
             self.eat("(")
             expr = self.parse_expression()
-            self.eat(")")
+            rp = self.eat(")")
             expr = dict(expr)
             expr["extra_parenthesized"] = True
+            # Babel keeps the inner node's span but enclosing nodes extend
+            # through the `)` (they cover all consumed tokens) — record it
+            # so parents (e.g. VariableDeclarator) can use the outer extent.
+            expr["paren_start"] = t.start
+            expr["paren_end"] = rp.end
             return expr
         if t.value == "[":
             self.eat("[")

@@ -109,18 +109,32 @@ def session_findings(pages: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def exactly_once_batch_writer(out_dir: str):
+def exactly_once_batch_writer(out_dir: str, n_key_buckets: int = 8):
     """foreachBatch sink: deterministic epoch path + overwrite = idempotent
     under replay.  Every row carries its lineage (batch_id + the shuffle
     partition that produced it); a metrics table records per-partition row
-    counts per epoch (north_rule: "per-partition lineage + metrics")."""
+    counts per epoch (north_rule: "per-partition lineage + metrics").
+
+    The data path is PARTITIONED (MERGE-shaped): rows shuffle on a hash
+    bucket of the upsert key (window_start, query_name) and land in
+    `epoch=<id>/key_bucket=<b>/` — many writer tasks, no single-task
+    coalesce.  Replays overwrite the same epoch directory with identical
+    content (counts are pure functions of the replayed input), which is
+    exactly the idempotency an Iceberg `MERGE INTO ... ON key` gives; the
+    read side (`read_results`) and the compaction (`streaming.merge`)
+    resolve latest-epoch-wins per key.  Only the per-epoch METRICS summary
+    (a handful of rows) keeps coalesce(1)."""
 
     def write(batch_df: DataFrame, batch_id: int):
         rows = (batch_df
                 .withColumn("batch_id", F.lit(batch_id))
-                .withColumn("src_partition", F.spark_partition_id()))
+                .withColumn("src_partition", F.spark_partition_id())
+                .withColumn("key_bucket",
+                            F.abs(F.hash("window_start", "query_name"))
+                            % n_key_buckets))
         rows.persist()
-        (rows.coalesce(1).write.mode("overwrite")
+        (rows.repartition("key_bucket")
+         .write.mode("overwrite").partitionBy("key_bucket")
          .parquet(os.path.join(out_dir, "findings", f"epoch={batch_id}")))
         metrics = (rows.groupBy("batch_id", "src_partition")
                    .agg(F.count(F.lit(1)).alias("n_rows"),

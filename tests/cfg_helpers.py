@@ -20,9 +20,14 @@ def cfg_nodes_in_fixture_order(cpg):
     return out
 
 
+def _match(n, code):
+    # CfgTestFixture.matchCode: Method nodes match by NAME, others by code
+    return n.name == code if n.label == "METHOD" else n.code == code
+
+
 def succ_pairs(cpg, code, occurrence=0, label=None):
     matches = [n for n in cfg_nodes_in_fixture_order(cpg)
-               if n.code == code and (label is None or n.label == label)]
+               if _match(n, code) and (label is None or n.label == label)]
     n = matches[occurrence]
     return {(e.dst.code if e.dst.label != "METHOD_RETURN" else "RET", e.variable)
             for e in cpg.out(n, "CFG")}

@@ -105,7 +105,7 @@ done();
     s = succ(cpg, "y")
     assert "case 1:" in s and "default:" in s
     # break jumps past the switch
-    assert succ(cpg, "break") == {"done"}
+    assert succ(cpg, "break;") == {"done"}
 
 
 # labeled break
@@ -119,4 +119,4 @@ outer: while (a) {
 after();
 """)
     # labeled break's CFG edge goes to the jump target
-    assert succ(cpg, "break outer") == {"outer:"}
+    assert succ(cpg, "break outer;") == {"outer:"}

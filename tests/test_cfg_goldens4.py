@@ -13,10 +13,10 @@ def test_nested_while_with_breaks():
     cpg = build_cpg("while (x) { while(y) { break; z;} a; break; b; } c;")
     assert succ(cpg, ":program") == {"x"}
     assert succ(cpg, "x") == {"y", "c"}
-    assert succ(cpg, "y") == {"break", "a"}
-    assert succ(cpg, "break") == {"a"}
-    assert succ(cpg, "a") == {"break"}
-    assert succ(cpg, "break", 1) == {"c"}
+    assert succ(cpg, "y") == {"break;", "a"}
+    assert succ(cpg, "break;") == {"a"}
+    assert succ(cpg, "a") == {"break;"}
+    assert succ(cpg, "break;", 1) == {"c"}
     assert succ(cpg, "c") == {"RET"}
 
 
@@ -34,10 +34,10 @@ while (x) {
 """)
     assert succ(cpg, ":program") == {"x"}
     assert succ(cpg, "x") == {"y", "RET"}
-    assert succ(cpg, "y") == {"break", "z"}
-    assert succ(cpg, "break") == {"RET"}
-    assert succ(cpg, "break", 1) == {"x"}
-    assert succ(cpg, "z") == {"break", "x"}
+    assert succ(cpg, "y") == {"break;", "z"}
+    assert succ(cpg, "break;") == {"RET"}
+    assert succ(cpg, "break;", 1) == {"x"}
+    assert succ(cpg, "z") == {"break;", "x"}
 
 
 # SimpleCfgCreationPassTests.scala:434-443
@@ -55,19 +55,19 @@ def test_plain_do_while():
 # SimpleCfgCreationPassTests.scala:445-453
 def test_do_while_with_break():
     cpg = build_cpg("do { break; y; } while (x < 1);")
-    assert succ(cpg, ":program") == {"break"}
-    assert succ(cpg, "break") == {"RET"}
+    assert succ(cpg, ":program") == {"break;"}
+    assert succ(cpg, "break;") == {"RET"}
     assert succ(cpg, "y") == {"x"}
-    assert succ(cpg, "x < 1") == {"break", "RET"}
+    assert succ(cpg, "x < 1") == {"break;", "RET"}
 
 
 # SimpleCfgCreationPassTests.scala:455-463
 def test_do_while_with_continue():
     cpg = build_cpg("do { continue; y; } while (x < 1);")
-    assert succ(cpg, ":program") == {"continue"}
-    assert succ(cpg, "continue") == {"x"}
+    assert succ(cpg, ":program") == {"continue;"}
+    assert succ(cpg, "continue;") == {"x"}
     assert succ(cpg, "y") == {"x"}
-    assert succ(cpg, "x < 1") == {"continue", "RET"}
+    assert succ(cpg, "x < 1") == {"continue;", "RET"}
 
 
 # SimpleCfgCreationPassTests.scala:465-471

@@ -28,8 +28,8 @@ def test_plain_for_loop():
 # SimpleCfgCreationPassTests.scala:519-535
 def test_for_loop_with_break():
     cpg = build_cpg("for (x = 0; y < 1; z += 2) { break; a = 3; }")
-    assert succ(cpg, "y < 1") == {"break", "RET"}
-    assert succ(cpg, "break") == {"RET"}
+    assert succ(cpg, "y < 1") == {"break;", "RET"}
+    assert succ(cpg, "break;") == {"RET"}
     assert succ(cpg, "a = 3") == {"z"}
     assert succ(cpg, "z += 2") == {"y"}
 
@@ -37,8 +37,8 @@ def test_for_loop_with_break():
 # SimpleCfgCreationPassTests.scala:537-553
 def test_for_loop_with_continue():
     cpg = build_cpg("for (x = 0; y < 1; z += 2) { continue; a = 3; }")
-    assert succ(cpg, "y < 1") == {"continue", "RET"}
-    assert succ(cpg, "continue") == {"z"}
+    assert succ(cpg, "y < 1") == {"continue;", "RET"}
+    assert succ(cpg, "continue;") == {"z"}
     assert succ(cpg, "a = 3") == {"z"}
     assert succ(cpg, "z += 2") == {"y"}
 
@@ -48,8 +48,8 @@ def test_while_do_while_break():
     cpg = build_cpg("while (x) { do { while(y) { break; a; } z; } while (x < 1); } c;")
     assert succ(cpg, ":program") == {"x"}
     assert succ(cpg, "x") == {"y", "c"}
-    assert succ(cpg, "y") == {"break", "z"}
-    assert succ(cpg, "break") == {"z"}
+    assert succ(cpg, "y") == {"break;", "z"}
+    assert succ(cpg, "break;") == {"z"}
     assert succ(cpg, "z") == {"x"}
     assert succ(cpg, "x", 1) == {"1"}
     assert succ(cpg, "x < 1") == {"y", "x"}
@@ -60,8 +60,8 @@ def test_while_do_while_break():
 def test_do_while_inside_while_with_break():
     cpg = build_cpg("while(x) { do { break; } while (y) } o;")
     assert succ(cpg, ":program") == {"x"}
-    assert succ(cpg, "x") == {"break", "o"}
-    assert succ(cpg, "break") == {"x"}
+    assert succ(cpg, "x") == {"break;", "o"}
+    assert succ(cpg, "break;") == {"x"}
     assert succ(cpg, "o") == {"RET"}
 
 
@@ -70,8 +70,8 @@ def test_two_nested_while_inner_break():
     cpg = build_cpg("while(y) { while(z) { break; x; } }")
     assert succ(cpg, ":program") == {"y"}
     assert succ(cpg, "y") == {"z", "RET"}
-    assert succ(cpg, "z") == {"break", "y"}
-    assert succ(cpg, "break") == {"y"}
+    assert succ(cpg, "z") == {"break;", "y"}
+    assert succ(cpg, "break;") == {"y"}
 
 
 # SimpleCfgCreationPassTests.scala:729-774 (for-in/of iterator desugaring)

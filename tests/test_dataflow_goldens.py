@@ -404,3 +404,51 @@ def test_module_literal_closure(which):
         sources = q.identifier().name_exact("API_Endpoint").line_number(8).l()
         assert len(sources) == 1
         assert len(reachable_by(cpg, sinks, sources)) == 1
+
+
+# DataflowTests.scala:484-499 "Flow from non-static member to sink"
+def test_nonstatic_member_to_sink():
+    cpg = build_cpg('''
+class Foo {
+  x = "foo";
+  func() {
+    sink(x);
+  }
+}
+''')
+    q = Q(cpg)
+    sinks = q.call("sink").argument(1).l()
+    sources = q.member().name("x").l()
+    assert len(sinks) == 1
+    assert len(sources) == 1
+    assert len(reachable_by(cpg, sinks, sources)) == 1
+
+
+# DataflowTests.scala:501-516 "Flow from static member to sink"
+def test_static_member_to_sink():
+    cpg = build_cpg('''
+class Foo {
+  static x = "foo";
+  func() {
+    sink(x);
+  }
+}
+''')
+    q = Q(cpg)
+    sinks = q.call("sink").argument(1).l()
+    sources = q.member().name("x").l()
+    assert len(sinks) == 1
+    assert len(sources) == 1
+    assert len(reachable_by(cpg, sinks, sources)) == 1
+
+
+# DataflowTests.scala:704-716 "Field access on TemplatedDom directly" /
+# "Not throw error and get handled it gracefully"
+def test_templated_dom_field_access_graceful():
+    cpg = build_cpg('''
+import { useRouter } from "next/router";
+const tabComponentType = (<Tab title={"typeComponent"} />).type;
+''')
+    ids = Q(cpg).identifier("tabComponentType").l()
+    assert len(ids) == 1
+    assert ids[0].line == 3

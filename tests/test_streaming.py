@@ -169,3 +169,60 @@ def test_watermark_drops_too_late_rows(spark):
     assert any(w.startswith("2024-01-01 10:") for w in emitted), emitted
     assert not any(w.startswith("2024-01-01 00:") for w in emitted), emitted
     assert dropped > 0, "late findings must be counted as dropped by the watermark"
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE stand-in: matched keys replaced, unmatched inserted, others
+    untouched (streaming/merge.py)."""
+    import os
+
+    from joern_spark.streaming.merge import merge_upsert
+
+    base = tempfile.mkdtemp(prefix="merge_")
+    target = os.path.join(base, "t")
+    try:
+        initial = spark.createDataFrame(
+            [("w1", "qa", 1), ("w1", "qb", 2), ("w2", "qa", 3)],
+            ["window_start", "query_name", "n_matches"])
+        merge_upsert(spark, target, initial, ["window_start", "query_name"])
+        updates = spark.createDataFrame(
+            [("w1", "qa", 10), ("w3", "qc", 7)],
+            ["window_start", "query_name", "n_matches"])
+        merge_upsert(spark, target, updates, ["window_start", "query_name"])
+        got = {(r.window_start, r.query_name): r.n_matches
+               for r in spark.read.parquet(target).collect()}
+        assert got == {("w1", "qa"): 10, ("w1", "qb"): 2,
+                       ("w2", "qa"): 3, ("w3", "qc"): 7}
+        # idempotent re-merge
+        merge_upsert(spark, target, updates, ["window_start", "query_name"])
+        again = {(r.window_start, r.query_name): r.n_matches
+                 for r in spark.read.parquet(target).collect()}
+        assert again == got
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compaction_matches_read_results(spark, corpus_dir):
+    """compact_findings folds epoch history into a current-state table whose
+    content equals the latest-wins read path; the epoch data files are
+    written partitioned (no single-task coalesce on the data path)."""
+    import glob
+    import os
+
+    from joern_spark.streaming.merge import compact_findings
+
+    base = tempfile.mkdtemp(prefix="compact_")
+    try:
+        out = f"{base}/out"
+        _run_to_completion(spark, corpus_dir, out, f"{base}/cp")
+        ref = {(str(r.window_start), r.query_name): (r.n_matches, r.n_docs)
+               for r in job.read_results(spark, out).collect()}
+        merged = compact_findings(spark, out, f"{base}/current")
+        got = {(str(r.window_start), r.query_name): (r.n_matches, r.n_docs)
+               for r in spark.read.parquet(f"{base}/current").collect()}
+        assert got == ref
+        assert merged.count() == len(ref)
+        # the sink wrote key-bucketed epoch dirs
+        assert glob.glob(os.path.join(out, "findings", "epoch=*", "key_bucket=*"))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
