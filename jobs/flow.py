@@ -20,11 +20,17 @@ from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 
 def flows_job(pages, source_regex: str, sink_regex: str,
-              source_kind: str = "call", sink_kind: str = "call"):
+              source_kind: str = "call", sink_kind: str = "call",
+              semantics_file: str | None = None):
     from joern_spark.cpg.build import build_cpg
+    from joern_spark.cpg.semloader import semantics_from_file
     from joern_spark.dataflow.engine import reachable_by_flows, result_pairs
     from joern_spark.extract import extract_script_text
     from joern_spark.query.cpgql import Q
+
+    # custom taint models (.sem, reference Semantics.g4 grammar) are parsed
+    # ONCE on the driver and broadcast inside the closure
+    semantics = semantics_from_file(semantics_file) if semantics_file else None
 
     schema = StructType([
         StructField("url", StringType()),
@@ -48,7 +54,8 @@ def flows_job(pages, source_regex: str, sink_regex: str,
                     sinks = select(q, sink_kind, sink_regex)
                     if not sources or not sinks:
                         continue
-                    for f in reachable_by_flows(cpg, sinks, sources):
+                    for f in reachable_by_flows(cpg, sinks, sources,
+                                                semantics=semantics):
                         rows.append((url, [f"{c} @ {ln}" for c, ln in
                                            result_pairs(cpg, f)]))
                 except Exception:
@@ -69,13 +76,16 @@ def main():
                     choices=["call", "identifier", "literal"])
     ap.add_argument("--sink-kind", default="call",
                     choices=["call", "identifier", "literal"])
+    ap.add_argument("--semantics", help="custom .sem taint-model file "
+                    "(reference Semantics.g4 grammar)")
     args = ap.parse_args()
 
     spark = get_spark(app_name="joern-spark-flow")
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(args.pages)
     for row in flows_job(pages, args.source_regex, args.sink_regex,
-                         args.source_kind, args.sink_kind).collect():
+                         args.source_kind, args.sink_kind,
+                         semantics_file=args.semantics).collect():
         print(json.dumps({"url": row.url, "flow": row.flow}))
 
 

@@ -15,7 +15,9 @@ from joern_spark.cpg.astlower import lower_js
 from joern_spark.cpg.cfg import add_cfg
 from joern_spark.cpg.core import Cpg
 from joern_spark.cpg.dominators import add_cdg, add_dominators
-from joern_spark.cpg.passes import create_method_stubs, link_calls
+from joern_spark.cpg.passes import (
+    create_method_stubs, link_calls, link_dynamic_calls, recover_types,
+)
 from joern_spark.cpg.reachingdef import add_reaching_defs
 from joern_spark.cpg.semantics import Semantics, default_semantics
 
@@ -28,7 +30,9 @@ def build_cpg(src: str, filename: str = "script.js",
         sys.setrecursionlimit(20000)
     cpg = lower_js(src, filename)
     create_method_stubs(cpg)
-    link_calls(cpg)
+    recover_types(cpg)       # XTypeRecovery subset (A19)
+    link_dynamic_calls(cpg)  # CHA (DynamicCallLinker, A15)
+    link_calls(cpg)          # static + naive/closure fallback (skips linked)
     add_cfg(cpg)
     ipdoms = add_dominators(cpg)
     add_cdg(cpg, ipdoms)

@@ -20,6 +20,28 @@ from joern_spark.cpg.core import Cpg, Node
 DYNAMIC_UNKNOWN = "<unknownFullName>"
 
 
+def _make_stub(cpg: Cpg, call: Node, fn: str) -> Node:
+    """External method stub shaped like MethodStubCreator.scala:24-95,
+    with parameters sized to the given call's arguments."""
+    args = cpg.arguments(call)
+    min_arg = min((a.argument_index for a in args), default=0)
+    n_args = len(args)
+    method = Node("METHOD", name=call.name, full_name=fn, code=call.name,
+                  is_external=True, order=0)
+    cpg.add_node(method)
+    start = 0 if min_arg == 0 else 1
+    for p_order in range(start, start + n_args):
+        param = Node("METHOD_PARAMETER_IN", name=f"p{p_order}", code=f"p{p_order}",
+                     order=p_order, index=p_order, evaluation_strategy="BY_VALUE",
+                     type_full_name="ANY")
+        cpg.add_edge(method, param, "AST")
+    block = Node("BLOCK", order=1, argument_index=1, type_full_name="ANY", code="<empty>")
+    cpg.add_edge(method, block, "AST")
+    ret = Node("METHOD_RETURN", order=2, code="RET", type_full_name="ANY")
+    cpg.add_edge(method, ret, "AST")
+    return method
+
+
 def create_method_stubs(cpg: Cpg):
     existing = {m.full_name for m in cpg.methods()}
     seen: dict[str, Node] = {}
@@ -27,23 +49,7 @@ def create_method_stubs(cpg: Cpg):
         fn = call.method_full_name
         if not fn or fn == DYNAMIC_UNKNOWN or fn in existing or fn in seen:
             continue
-        args = cpg.arguments(call)
-        min_arg = min((a.argument_index for a in args), default=0)
-        n_args = len(args)
-        method = Node("METHOD", name=call.name, full_name=fn, code=call.name,
-                      is_external=True, order=0)
-        cpg.add_node(method)
-        start = 0 if min_arg == 0 else 1
-        for p_order in range(start, start + n_args):
-            param = Node("METHOD_PARAMETER_IN", name=f"p{p_order}", code=f"p{p_order}",
-                         order=p_order, index=p_order, evaluation_strategy="BY_VALUE",
-                         type_full_name="ANY")
-            cpg.add_edge(method, param, "AST")
-        block = Node("BLOCK", order=1, argument_index=1, type_full_name="ANY", code="<empty>")
-        cpg.add_edge(method, block, "AST")
-        ret = Node("METHOD_RETURN", order=2, code="RET", type_full_name="ANY")
-        cpg.add_edge(method, ret, "AST")
-        seen[fn] = method
+        seen[fn] = _make_stub(cpg, call, fn)
 
 
 def link_calls(cpg: Cpg):
@@ -100,3 +106,180 @@ def is_stub(cpg: Cpg, method: Node) -> bool:
         if c.label == "BLOCK":
             return len(cpg.ast_children(c)) == 0
     return True
+
+
+# ---------------------------------------------------------------------------
+# Type recovery (XTypeRecovery subset) + CHA dynamic call linking
+# ---------------------------------------------------------------------------
+
+def recover_types(cpg: Cpg):
+    """Assignment-propagation core of the reference's XTypeRecovery
+    (x2cpg frontendspecific XTypeRecovery.scala — the subset that resolves
+    receiver-typed dynamic calls):
+
+    - `x = new C()`      → x : C's TYPE_DECL full name
+    - `m = require("p")` → m : module p
+    - dynamic call `x.f()` with recovered receiver type T →
+      call.methodFullName = "T:f" (ready for CHA linking); module receivers
+      get "p:f" and an external stub.
+
+    Scoping: hints are keyed per enclosing method (JS block scoping is
+    method-granular after our lowering), with a document-level fallback.
+    """
+    typedecl_by_name: dict[str, Node] = {}
+    for t in cpg.nodes:
+        if t.label == "TYPE_DECL" and t.name not in (":program",):
+            typedecl_by_name.setdefault(t.name, t)
+
+    method_of: dict[int, int] = {}
+    for m in cpg.methods():
+        for n in cpg.ast_subtree(m):
+            method_of.setdefault(n.id, m.id)
+
+    var_type: dict[tuple[int, str], str] = {}    # (method_id, var) → type full
+    var_module: dict[tuple[int, str], str] = {}  # (method_id, var) → module
+
+    calls = [n for n in cpg.nodes if n.label == "CALL"]
+    for call in calls:
+        if call.name != "<operator>.assignment":
+            continue
+        args = cpg.arguments(call)
+        if len(args) != 2 or args[0].label != "IDENTIFIER":
+            continue
+        lhs, rhs = args
+        scope = method_of.get(lhs.id, -1)
+        for sub in cpg.ast_subtree(rhs):
+            if sub.label != "CALL":
+                continue
+            if sub.name == "<operator>.new":
+                recv = [e.dst for e in cpg.out(sub, "RECEIVER")]
+                if recv and recv[0].label == "IDENTIFIER" \
+                        and recv[0].name in typedecl_by_name:
+                    t = typedecl_by_name[recv[0].name]
+                    var_type[(scope, lhs.name)] = t.full_name
+                    lhs.type_full_name = t.full_name
+                    break
+            elif sub.name == "require":
+                lits = [a for a in cpg.arguments(sub) if a.label == "LITERAL"]
+                if lits:
+                    mod = lits[0].code.strip("\"'`")
+                    var_module[(scope, lhs.name)] = mod
+                    break
+
+    def lookup(table, scope, name):
+        v = table.get((scope, name))
+        if v is not None:
+            return v
+        # document-level fallback: unique hint for the name anywhere
+        hits = {val for (s, n), val in table.items() if n == name}
+        return hits.pop() if len(hits) == 1 else None
+
+    stub_cache: dict[str, Node] = {}
+    for call in calls:
+        if call.method_full_name != DYNAMIC_UNKNOWN:
+            continue
+        recv = [e.dst for e in cpg.out(call, "RECEIVER")]
+        if not (recv and recv[0].label == "CALL"
+                and recv[0].name == "<operator>.fieldAccess"):
+            continue
+        fa_args = cpg.arguments(recv[0])
+        if len(fa_args) != 2 or fa_args[0].label != "IDENTIFIER":
+            continue
+        base = fa_args[0]
+        scope = method_of.get(call.id, -1)
+        t = lookup(var_type, scope, base.name)
+        if t is not None:
+            call.method_full_name = f"{t}:{call.name}"
+            base.type_full_name = t
+            continue
+        mod = lookup(var_module, scope, base.name)
+        if mod is not None:
+            fn = f"{mod}:{call.name}"
+            call.method_full_name = fn
+            if fn not in stub_cache:
+                existing = next((m for m in cpg.methods()
+                                 if m.full_name == fn), None)
+                if existing is None:
+                    existing = _make_stub(cpg, call, fn)
+                stub_cache[fn] = existing
+
+
+def link_dynamic_calls(cpg: Cpg):
+    """CHA dynamic call linking (x2cpg passes/callgraph/
+    DynamicCallLinker.scala:19-120, SAFEDISPATCH-style): for every
+    TYPE_DECL method, valid targets = same-named methods of the type and
+    ALL its subclasses (INHERITS_FROM closure); calls resolve through
+    validM with super-class fallback, preferring internal methods over
+    external stubs.  JS has no signatures, so lookup is by name."""
+    typedecls = [t for t in cpg.nodes if t.label == "TYPE_DECL"]
+    td_by_full = {t.full_name: t for t in typedecls}
+    methods_of_td = {
+        t.id: [e.dst for e in cpg.out(t, "AST") if e.dst.label == "METHOD"]
+        for t in typedecls
+    }
+    # INHERITS_FROM: edge child → parent (both TYPE_DECLs in our build)
+    children_of: dict[int, list[Node]] = {}
+    parents_of: dict[int, list[Node]] = {}
+    for e in cpg.edges:
+        if e.label == "INHERITS_FROM":
+            parent = td_by_full.get(e.dst.full_name, e.dst)
+            children_of.setdefault(parent.id, []).append(e.src)
+            parents_of.setdefault(e.src.id, []).append(parent)
+
+    def closure(t: Node, nbrs) -> list[Node]:
+        out, frontier, seen = [t], [t], {t.id}
+        while frontier:
+            nxt = []
+            for cur in frontier:
+                for n in nbrs.get(cur.id, []):
+                    if n.id not in seen:
+                        seen.add(n.id)
+                        out.append(n)
+                        nxt.append(n)
+            frontier = nxt
+        return out
+
+    valid_m: dict[str, list[Node]] = {}
+    for t in typedecls:
+        for m in methods_of_td.get(t.id, []):
+            cands = []
+            for sub in closure(t, children_of):
+                for sm in methods_of_td.get(sub.id, []):
+                    if sm.name == m.name:
+                        cands.append(sm)
+            valid_m[m.full_name] = cands
+
+    method_by_full: dict[str, Node] = {}
+    for m in cpg.methods():
+        if not m.name.startswith("<operator>"):
+            method_by_full.setdefault(m.full_name, m)
+
+    for call in [n for n in cpg.nodes if n.label == "CALL"]:
+        if call.dispatch_type != "DYNAMIC_DISPATCH":
+            continue
+        fn = call.method_full_name
+        if not fn or fn in ("<empty>", DYNAMIC_UNKNOWN):
+            continue
+        # resolveCallInSuperClasses: a call typed T:f where T does not
+        # define f resolves against supertypes' definitions (whose validM
+        # already contains the subclass overrides)
+        targets = list(valid_m.get(fn, []))
+        if not targets and ":" in fn:
+            td_full = fn[: fn.rfind(":")]
+            td = td_by_full.get(td_full)
+            if td is not None:
+                for sup in closure(td, parents_of):
+                    for sm in methods_of_td.get(sup.id, []):
+                        if sm.name == call.name:
+                            targets.extend(valid_m.get(sm.full_name, [sm]))
+        if targets:
+            internal = [t for t in targets if not t.is_external]
+            chosen = internal if internal else targets
+        else:
+            fb = method_by_full.get(fn)
+            chosen = [fb] if fb is not None else []
+        existing = {e.dst.id for e in cpg.out(call, "CALL")}
+        for tgt in chosen:
+            if tgt.id not in existing:
+                cpg.add_edge(call, tgt, "CALL")
+                existing.add(tgt.id)

@@ -16,13 +16,16 @@ PASSTHROUGH = ("PASSTHROUGH",)
 
 
 class FlowSemantic:
-    __slots__ = ("method_full_name", "mappings", "regex")
+    __slots__ = ("method_full_name", "mappings", "regex", "arg_names")
 
     def __init__(self, method_full_name: str, mappings, regex: bool = False):
         self.method_full_name = method_full_name
         # mappings: list of (src_idx, dst_idx) or PASSTHROUGH
         self.mappings = list(mappings)
         self.regex = regex
+        # optional named-argument fidelity from the .sem loader:
+        # {("src"|"dst", mapping_index): name}
+        self.arg_names = {}
 
     def is_used(self, arg_index: int) -> bool:
         if not self.mappings:

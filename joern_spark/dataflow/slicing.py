@@ -108,3 +108,237 @@ def data_flow_slices(pages, call_code_regex: str = ".*",
             yield pd.DataFrame(rows, columns=cols)
 
     return pages.select("url", "html").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Usage slicing (UsageSlicing.scala:34-220 — joern-slice's `usages` mode)
+# ---------------------------------------------------------------------------
+
+_UNRESOLVED = ("<unknownFullName>", "<empty>", "")
+
+
+def _resolved(full_name: str):
+    return None if (not full_name or full_name in _UNRESOLVED
+                    or full_name.startswith("<operator")) else full_name
+
+
+def _def_component(cpg: Cpg, node: Node | None) -> dict | None:
+    """DefComponent JSON (package.scala:217-296 variants: LocalDef,
+    LiteralDef, ParamDef, CallDef, UnknownDef) — the `label` field is the
+    variant discriminator."""
+    if node is None:
+        return None
+    base = {"name": node.name or node.code, "typeFullName": node.type_full_name or "ANY",
+            "lineNumber": node.line, "columnNumber": node.column}
+    if node.label == "LOCAL":
+        return {"label": "LOCAL", **base}
+    if node.label == "LITERAL":
+        return {"label": "LITERAL", **base, "name": node.code}
+    if node.label == "METHOD_PARAMETER_IN":
+        return {"label": "PARAM", **base, "position": node.index}
+    if node.label == "CALL":
+        return {"label": "CALL", **base,
+                "resolvedMethod": _resolved(node.method_full_name)}
+    if node.label == "IDENTIFIER":
+        # an identifier RHS denotes the local/param it references
+        return {"label": "LOCAL", **base}
+    return {"label": "UNKNOWN", **base}
+
+
+def _observed_call(cpg: Cpg, call: Node, field_name: str | None = None) -> dict:
+    """ObservedCall JSON (package.scala:395-403)."""
+    params = []
+    for a in cpg.arguments(call):
+        if (a.argument_index or 0) <= 0:
+            continue
+        params.append("LAMBDA" if a.label == "METHOD_REF"
+                      else (a.type_full_name or "ANY"))
+    return {
+        "callName": field_name or call.name,
+        "resolvedMethod": _resolved(call.method_full_name),
+        "paramTypes": params,
+        "returnType": "ANY",
+        "lineNumber": call.line,
+        "columnNumber": call.column,
+    }
+
+
+def _defined_by(cpg: Cpg, local: Node, idents: list[Node]) -> Node | None:
+    """RHS of the assignment that defines `local` (TrackUsageTask.call:
+    constructor blocks resolve to their inner `<operator>.new` call)."""
+    for ident in idents:
+        call = cpg.in_call(ident)
+        while call is not None and call.name != "<operator>.assignment":
+            call = cpg.in_call(call)
+        if call is None:
+            continue
+        args = cpg.arguments(call)
+        if len(args) == 2 and args[0].code == local.name:
+            rhs = args[1]
+            if rhs.label == "BLOCK":
+                news = [n for n in cpg.ast_subtree(rhs)
+                        if n.label == "CALL" and n.name == "<operator>.new"]
+                return news[-1] if news else rhs
+            return rhs
+    return None
+
+
+def usage_slice(cpg: Cpg, min_num_calls: int = 1,
+                exclude_operator_calls: bool = False) -> dict:
+    """ProgramUsageSlice JSON (UsageSlicing.calculateUsageSlice): per
+    method, per declaration (locals + parameters), what defines the object
+    and which calls it receives / flows into — the API-inventory mode of
+    joern-slice."""
+    # referencing identifiers per declaration (REF edges)
+    refs: dict[int, list[Node]] = {}
+    for e in cpg.edges:
+        if e.label == "REF" and e.src.label == "IDENTIFIER" \
+                and e.dst.label in ("LOCAL", "METHOD_PARAMETER_IN"):
+            refs.setdefault(e.dst.id, []).append(e.src)
+
+    # receiver → enclosing call (the fieldAccess of `x.f()` hangs off the
+    # outer call via a RECEIVER edge, not ARGUMENT)
+    receiver_parent: dict[int, Node] = {}
+    for e in cpg.edges:
+        if e.label == "RECEIVER":
+            receiver_parent[e.dst.id] = e.src
+
+    # innermost enclosing method per node (the reference groups by
+    # `local.method.head`): nearest METHOD ancestor over AST edges
+    ast_parent: dict[int, Node] = {}
+    for e in cpg.edges:
+        if e.label == "AST":
+            ast_parent[e.dst.id] = e.src
+
+    def method_of_node(n: Node) -> Node | None:
+        cur = n
+        for _ in range(10000):
+            if cur.label == "METHOD":
+                return cur
+            cur = ast_parent.get(cur.id)
+            if cur is None:
+                return None
+        return None
+
+    slices_by_method: dict[int, list[dict]] = {}
+    for decl in cpg.nodes:
+        if decl.label not in ("LOCAL", "METHOD_PARAMETER_IN"):
+            continue
+        if decl.name.startswith("_tmp_") or decl.name in ("this", "self"):
+            continue
+        idents = refs.get(decl.id, [])
+        invoked: list[dict] = []
+        arg_to: list[dict] = []
+        for ident in idents:
+            call = cpg.in_call(ident)
+            if call is None:
+                continue
+            if call.name == "<operator>.fieldAccess":
+                # member invocation: fieldAccess(ident, f) as RECEIVER of
+                # the enclosing call → invokedCalls entry named f
+                outer = receiver_parent.get(call.id)
+                if outer is not None:
+                    fa_args = cpg.arguments(call)
+                    fname = fa_args[1].code if len(fa_args) == 2 else call.name
+                    invoked.append(_observed_call(cpg, outer, field_name=fname))
+                    continue
+            if exclude_operator_calls and call.name.startswith("<operator"):
+                continue
+            if (ident.argument_index or 0) > 0 \
+                    and call.name != "<operator>.assignment":
+                arg_to.append({**_observed_call(cpg, call),
+                               "position": ident.argument_index})
+        if len(invoked) + len(arg_to) < min_num_calls:
+            continue
+        defined_by = (_def_component(cpg, decl) if decl.label == "METHOD_PARAMETER_IN"
+                      else _def_component(cpg, _defined_by(cpg, decl, idents)))
+        if decl.label == "LOCAL":
+            db = defined_by or {}
+            if db.get("label") == "CALL" and db.get("name") in ("require", "import"):
+                continue  # Case 1 guard: require/import targets are skipped
+        m = method_of_node(decl)
+        if m is None:
+            continue
+        slices_by_method.setdefault(m.id, []).append({
+            "targetObj": _def_component(cpg, decl),
+            "definedBy": defined_by,
+            "invokedCalls": invoked,
+            "argToCalls": arg_to,
+        })
+
+    methods_by_id = {m.id: m for m in cpg.methods()}
+    object_slices = [
+        {
+            "code": "",
+            "fullName": methods_by_id[mid].full_name,
+            "fileName": cpg.filename if hasattr(cpg, "filename") else "",
+            "lineNumber": methods_by_id[mid].line,
+            "columnNumber": methods_by_id[mid].column,
+            "slices": sl,
+        }
+        for mid, sl in sorted(slices_by_method.items(),
+                              key=lambda kv: methods_by_id[kv[0]].full_name)
+    ]
+
+    # userDefinedTypes (UsageSlicing.userDefinedTypes)
+    udts = []
+    for t in cpg.nodes:
+        if t.label != "TYPE_DECL" or t.name in (":program",):
+            continue
+        methods = [c.dst for c in cpg.out(t, "AST") if c.dst.label == "METHOD"]
+        method_names = {m.name for m in methods}
+        # method MEMBER mirrors report under procedures, not fields
+        members = [c.dst for c in cpg.out(t, "AST")
+                   if c.dst.label == "MEMBER" and c.dst.name not in method_names]
+        if not members and not methods:
+            continue
+        udts.append({
+            "name": t.full_name,
+            "fields": [{"label": "LOCAL", "name": f.name,
+                        "typeFullName": f.type_full_name or "ANY"}
+                       for f in members],
+            "procedures": [{"callName": p.name,
+                            "resolvedMethod": _resolved(p.full_name),
+                            "paramTypes": ["ANY" for _ in cpg.ast_children(p)
+                                           if _.label == "METHOD_PARAMETER_IN"
+                                           and _.name != "this"],
+                            "returnType": "ANY"}
+                           for p in methods],
+            "fileName": "", "lineNumber": t.line, "columnNumber": t.column,
+        })
+
+    return {"objectSlices": object_slices, "userDefinedTypes": udts}
+
+
+def usage_slices(pages, min_num_calls: int = 1,
+                 exclude_operator_calls: bool = False):
+    """Corpus-level usage slicing: pages → (url, slice_json) rows, one
+    ProgramUsageSlice JSON document per page, in a single Arrow pass."""
+    import json
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from joern_spark.cpg.build import build_cpg
+    from joern_spark.extract import extract_script_text
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("slice_json", StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    cpg = build_cpg(
+                        extract_script_text(bytes(html).decode("utf-8", "replace")), url)
+                    s = usage_slice(cpg, min_num_calls, exclude_operator_calls)
+                    rows.append((url, json.dumps(s, sort_keys=True)))
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=["url", "slice_json"])
+
+    return pages.select("url", "html").mapInPandas(run, schema)

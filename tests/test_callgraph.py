@@ -1,0 +1,91 @@
+"""Type recovery (XTypeRecovery subset) + CHA dynamic call linking goldens
+(x2cpg DynamicCallLinker.scala:19-120; XTypeRecovery assignment core)."""
+
+from __future__ import annotations
+
+from joern_spark.cpg.build import build_cpg
+
+
+def _call(cpg, code):
+    return next(n for n in cpg.nodes if n.label == "CALL" and n.code == code)
+
+
+def _targets(cpg, call):
+    return {e.dst.full_name for e in cpg.out(call, "CALL")
+            if e.dst.label == "METHOD"}
+
+
+def test_override_dispatch_resolves_to_subclass():
+    """`b.f()` with b = new B() resolves to B.f, NOT A.f (the VERDICT r1
+    item 10 golden: receiver type + validM, not name matching)."""
+    cpg = build_cpg("""
+class A { f() { return 1; } }
+class B extends A { f() { return 2; } }
+var b = new B();
+b.f();
+""")
+    call = _call(cpg, "b.f()")
+    assert call.method_full_name == "script.js::program:B:f"
+    assert _targets(cpg, call) == {"script.js::program:B:f"}
+
+
+def test_inherited_method_resolves_through_superclass():
+    """`b.g()` where only A defines g: super-class walk finds A.g."""
+    cpg = build_cpg("""
+class A { g() { return 1; } }
+class B extends A { }
+var b = new B();
+b.g();
+""")
+    call = _call(cpg, "b.g()")
+    assert call.method_full_name == "script.js::program:B:g"
+    assert _targets(cpg, call) == {"script.js::program:A:g"}
+
+
+def test_base_typed_receiver_cha_over_approximates():
+    """`a.f()` with a : A links both A.f and the B.f override (CHA valid
+    targets = type + all subclasses, SAFEDISPATCH semantics)."""
+    cpg = build_cpg("""
+class A { f() { return 1; } }
+class B extends A { f() { return 2; } }
+var a = new A();
+a.f();
+""")
+    call = _call(cpg, "a.f()")
+    assert _targets(cpg, call) == {
+        "script.js::program:A:f", "script.js::program:B:f"}
+
+
+def test_receiver_typed_flow_through_method():
+    """Member-method taint now flows via the CHA-resolved call edge:
+    source() → this-less method argument → sink inside the resolved body."""
+    from joern_spark.dataflow.engine import reachable_by
+    from joern_spark.query.cpgql import Q
+
+    cpg = build_cpg("""
+class W {
+  id(x) { return x; }
+}
+var w = new W();
+var a = source();
+var b = w.id(a);
+sink(b);
+""")
+    q = Q(cpg)
+    sinks = q.call().code("sink.*").argument().l()
+    sources = q.call().code("source.*").l()
+    assert len(reachable_by(cpg, sinks, sources)) >= 1
+
+
+def test_require_module_typing():
+    """`const m = require("crypto"); m.hash(x)` gets methodFullName
+    crypto:hash and an external stub (XTypeRecovery require-typing)."""
+    cpg = build_cpg("""
+const m = require("crypto");
+m.hash(42);
+""")
+    call = _call(cpg, "m.hash(42)")
+    assert call.method_full_name == "crypto:hash"
+    stubs = [n for n in cpg.nodes if n.label == "METHOD"
+             and n.full_name == "crypto:hash"]
+    assert len(stubs) == 1 and stubs[0].is_external
