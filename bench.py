@@ -39,6 +39,8 @@ DEFAULT_BENCH = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "cpg_build_flows",
+    "cpg_node_stats",       # exercises the single-pass nodes+edges build
+    "cpg_reachable_pairs",  # iterative-join reachability over REACHING_DEF
     "cpg_scan_throughput",  # flagship: sustained docs/sec over 4096 pages
 ]
 
@@ -72,7 +74,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # sustained docs/sec for the flagship CPG pipeline (north_star metric):
-    # cpg_build_flows processes 256 pages end-to-end (extract→CPG→scan)
+    # cpg_scan_throughput processes 4096 pages end-to-end (extract→CPG→scan)
     docs_per_sec = (
         round(4096.0 / timings["cpg_scan_throughput"], 2)
         if timings.get("cpg_scan_throughput") else None

@@ -24,13 +24,21 @@ from pyspark.sql import functions as F
 
 
 def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
-                    max_iterations: int = 64, checkpoint_every: int = 8) -> DataFrame:
+                    max_iterations: int = 64) -> DataFrame:
     """BFS backwards from sinks over REACHING_DEF edges.
 
     edges:   (url, src, dst, label, variable)
     sources: (url, node_id)
     sinks:   (url, node_id)
     returns: (url, source_id, sink_id) pairs where source reaches sink.
+
+    Every frontier is eagerly localCheckpoint-ed: the frontier is the SMALL
+    set (≤ active chain tips, never the corpus), so materializing it per
+    step costs one tiny job and buys (a) a free isEmpty check, (b) zero
+    lineage growth — `visited` stays a plain union of already-materialized
+    frontiers, so no iteration ever recomputes a prior join chain (the
+    round-1 loop recomputed the whole window since the last checkpoint for
+    BOTH the emptiness test and the next join).
     """
     rd = (edges.where(F.col("label") == "REACHING_DEF")
           .select("url", "src", "dst"))
@@ -38,10 +46,11 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
     # distinct up front so the union-without-distinct invariant below holds
     # even if the caller's sinks frame carries duplicate (url, node_id) rows
     frontier = sinks.select("url", F.col("node_id").alias("cur"),
-                            F.col("node_id").alias("sink_id")).distinct()
+                            F.col("node_id").alias("sink_id")).distinct().persist()
+    frontier.count()
     visited = frontier
 
-    for i in range(max_iterations):
+    for _i in range(max_iterations):
         step = (
             frontier.alias("f")
             .join(rd.alias("e"), on=[F.col("f.url") == F.col("e.url"),
@@ -49,17 +58,21 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
             .select(F.col("f.url").alias("url"), F.col("e.src").alias("cur"), "sink_id")
             .distinct()
         )
-        new_frontier = step.subtract(visited)
-        if (i + 1) % checkpoint_every == 0:
-            new_frontier = new_frontier.localCheckpoint(eager=True)
-        if new_frontier.isEmpty():
+        # left_anti dedups against everything seen; persist()+count()
+        # materializes the frontier, so the emptiness check is free and no
+        # later iteration recomputes a prior join chain.  (localCheckpoint
+        # is the textbook tool here but Spark 4.1 fails to re-resolve
+        # EXCEPT/anti-join plans over unions of checkpointed relations —
+        # "key not found: url#N" — so materialized persist it is; frontiers
+        # are chain-tip-sized, never corpus-sized.)
+        new_frontier = step.join(visited, ["url", "cur", "sink_id"],
+                                 "left_anti").persist()
+        if new_frontier.count() == 0:
             break
-        # new_frontier is disjoint from visited by construction (subtract
+        # new_frontier is disjoint from visited by construction (anti-join
         # above) — a plain union is exact; re-distincting the whole
         # accumulated set every step would re-shuffle it per iteration.
         visited = visited.union(new_frontier)
-        if (i + 1) % checkpoint_every == 0:
-            visited = visited.localCheckpoint(eager=True)
         frontier = new_frontier
 
     src = sources.select(F.col("url").alias("s_url"), F.col("node_id").alias("source_id"))

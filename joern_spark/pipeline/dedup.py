@@ -47,25 +47,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(text_col: Column, k: int = SHINGLE) -> Column:
-    """k-token shingles as strings; JVM-side `transform` over an index
-    sequence (no explode needed to build them).
-
-    NOTE: callers on a hot path should materialize this as its own
-    projection stage (see `shingled`) — Catalyst does not common-subexpr
-    nested lambda bodies, so inlining it into further lambdas recomputes
-    the tokenization per element.
-    """
-    toks = F.split(F.trim(text_col), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    make = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.split(F.trim(text_col), r"\s+"), (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
-    return F.when(n >= k, make).otherwise(F.array(F.substring(F.trim(text_col), 1, 1000)))
+# (a column-level `shingles()` helper used to live here; it re-tokenized
+# the text once per array element — a per-row O(k·n) trap.  Use `shingled`,
+# which stages tokenization as its own projection.)
 
 
 def shingled(df: DataFrame, text_col: str = "text", k: int = SHINGLE) -> DataFrame:
