@@ -31,10 +31,13 @@ def run_one(cores: int, n_docs: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     pages = make_pages(spark, n_docs=n_docs, n_partitions=N_PARTITIONS)
     pages = pages.localCheckpoint(eager=True)  # materialize identical input
-    # warm-up pass (python workers), then two timed passes; report the best
+    # warm-up pass (python workers), then three timed passes; report the
+    # best (min is the right statistic for same-input scaling evidence —
+    # it strips scheduler/GC noise, which otherwise swings the N/4N ratio
+    # by ±0.2)
     scan_findings(pages).write.format("noop").mode("overwrite").save()
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         scan_findings(pages).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
