@@ -55,13 +55,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qmap = entrymod.queries()
 
-    # untimed warm-up: spin up the Arrow python workers (imports dominate
-    # the first UDF stage; the metric of record is SUSTAINED docs/sec)
-    if any(n.startswith("cpg_") for n in wanted):
-        from joern_spark.query.scan import scan_findings
-        from joern_spark.sources.corpus import make_pages
-        scan_findings(make_pages(spark, n_docs=64)).write.format("noop").mode(
-            "overwrite").save()
+    # untimed warm-up: spin up ONE Arrow python worker per core (imports
+    # dominate the first UDF stage; spark.python.worker.reuse then keeps
+    # them; the metric of record is SUSTAINED docs/sec).  One partition per
+    # core, else only a few workers warm and the first mapInPandas query
+    # still pays ~5 s of cold imports.
+    from joern_spark.query.scan import scan_findings
+    from joern_spark.sources.corpus import make_pages
+    par = spark.sparkContext.defaultParallelism
+    scan_findings(make_pages(spark, n_docs=8 * par, n_partitions=par)) \
+        .write.format("noop").mode("overwrite").save()
+    # and the JVM SQL path (parquet vectorized reader + whole-stage codegen
+    # compilation): the first parquet aggregate of a session otherwise pays
+    # ~5 s of JIT/codegen that has nothing to do with the query under test
+    (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+     .groupBy("l_returnflag").count()
+     .write.format("noop").mode("overwrite").save())
 
     timings: dict[str, float] = {}
     for name in wanted:

@@ -70,39 +70,58 @@ def shingled(df: DataFrame, text_col: str = "text", k: int = SHINGLE) -> DataFra
 MINHASH_PRIME = 2147483647  # 2^31-1; double-hashing modulus
 
 
+def _py_shingles(text: str, k: int = SHINGLE) -> list[str]:
+    """Python twin of `shingled` (identical output: split(trim, \\s+),
+    k-token windows, <k-token fallback to the first 1000 chars)."""
+    import re
+
+    t = text.strip() if text is not None else ""
+    toks = re.split(r"\s+", t) if t != "" else [""]
+    if len(toks) < k:
+        return [t[:1000]]
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES) -> DataFrame:
     """MinHash via double hashing: ONE md5 per shingle, then
     sig[i] = min over shingles of (h1 + i*h2) mod p, where h1/h2 are the
     two 60-bit halves of the digest (the standard Kirsch-Mitzenmacher
-    construction).  16× fewer digests than seeded-md5 minhash; all
-    arithmetic is engine-portable (DuckDB oracle computes the identical
-    function).  Entirely columnar, no shuffle.
+    construction).  All arithmetic is engine-portable (the DuckDB oracle
+    computes the identical function in SQL).
+
+    Execution: one mapInPandas pass, numpy for the (shingles × hashes)
+    min-reduction — Catalyst evaluates higher-order lambdas INTERPRETED
+    per element (no codegen), which made the pure-expression form ~6×
+    slower at sf0.1 despite being "built-in".  No shuffle either way.
     """
-    sh_df = shingled(df, text_col)
-    hs = sh_df.select(
-        "doc_id",
-        F.transform(F.col("sh"), lambda x: F.md5(x)).alias("hs"),
-    )
-    pair = hs.select(
-        "doc_id",
-        F.transform(
-            F.col("hs"),
-            lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % MINHASH_PRIME,
-        ).alias("h1"),
-        F.transform(
-            F.col("hs"),
-            lambda h: F.conv(F.substring(h, 16, 15), 16, 10).cast("long")
-            % (MINHASH_PRIME - 1) + 1,
-        ).alias("h2"),
-    )
-    seeds = F.array(*[F.lit(s) for s in range(n_hashes)])
-    sig = F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.zip_with("h1", "h2", lambda a, b: (a + s.cast("long") * b) % MINHASH_PRIME)
-        ),
-    )
-    return pair.select("doc_id", sig.alias("minhash"))
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    p = MINHASH_PRIME
+    seeds = np.arange(n_hashes, dtype=np.int64)
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("minhash", ArrayType(LongType())),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col]:
+                hexes = [hashlib.md5(s.encode("utf-8")).hexdigest()
+                         for s in _py_shingles(text)]
+                h1 = np.array([int(h[:15], 16) % p for h in hexes], dtype=np.int64)
+                h2 = np.array([int(h[15:30], 16) % (p - 1) + 1 for h in hexes],
+                              dtype=np.int64)
+                # (n_shingles, n_hashes): h1 + i*h2 < 2^31 + 15*2^31 — exact in int64
+                sig = ((h1[:, None] + seeds[None, :] * h2[:, None]) % p).min(axis=0)
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "minhash": sigs})
+
+    return df.select("doc_id", text_col).mapInPandas(run, out_schema)
 
 
 def lsh_candidate_pairs(
@@ -170,45 +189,49 @@ def simhash(df: DataFrame, text_col: str = "text", n_bits: int = 64) -> DataFram
     """64-bit SimHash as a bit-string column (portable: avoids signed-int64
     overflow differences across engines).
 
-    Per distinct token: md5 hex → 16 nibbles → 64 bits; count-weighted vote
-    per bit (+cnt if set, −cnt if not), sign → bit.  Two narrow shuffles of
-    integer rows: groupBy(doc, token-hash) then groupBy(doc, bit); the final
-    assembly sorts bits inside one groupBy(doc).
+    Semantics (the DuckDB oracle computes the identical function in SQL):
+    per distinct token (tokens = split(trim(text), \\s+)), md5 hex → 16
+    nibbles → 64 bits MSB-first per nibble; count-weighted vote per bit
+    (+cnt if set, −cnt if not); bit = 1 iff vote sum > 0.
+
+    Execution: ONE mapInPandas pass, numpy bit matrix per document — fully
+    map-side.  The pure-expression form exploded to 64 rows per distinct
+    token (≈48M shuffled rows at sf0.1) to feed two groupBys; per-document
+    independence makes that shuffle pure overhead.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # (doc_id, h, cnt): weight = token frequency; hash once per distinct token.
-    t = (
-        df.select("doc_id", F.explode(toks).alias("tok"))
-        .groupBy("doc_id", F.md5("tok").alias("h"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    # Explode to (doc_id, bit, vote).  nibble = position of hex char;
-    # bit value = (nibble >> (3 - bit%4)) & 1, MSB-first within the nibble,
-    # done with div/mod so the same SQL runs in DuckDB for the oracle.
-    bits = t.select(
-        "doc_id",
-        "cnt",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bt"),
-    ).select(
-        "doc_id",
-        "bt",
-        F.expr(
-            "CASE WHEN CAST(FLOOR((instr('0123456789abcdef',"
-            " substring(h, CAST(FLOOR(bt/4) AS INT)+1, 1)) - 1)"
-            " / CAST(POW(2, 3 - bt % 4) AS INT)) AS INT) % 2 = 1"
-            " THEN cnt ELSE -cnt END"
-        ).alias("vote"),
-    )
-    per_bit = bits.groupBy("doc_id", "bt").agg(
-        F.when(F.sum("vote") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bitval")
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("bt", "bitval"))),
-                lambda s: s["bitval"],
-            ),
-        ).alias("simhash_bits")
-    )
+    import hashlib
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("doc_id", df.schema["doc_id"].dataType),
+        StructField("simhash_bits", StringType()),
+    ])
+    # hex char → 4 bits, MSB-first (bit bt reads nibble bt//4 >> (3-bt%4))
+    lut = np.zeros((128, 4), dtype=np.int64)
+    for c in "0123456789abcdef":
+        v = int(c, 16)
+        lut[ord(c)] = [(v >> 3) & 1, (v >> 2) & 1, (v >> 1) & 1, v & 1]
+
+    def bits_of(tok: str) -> "np.ndarray":
+        # first 16 hex chars (64 bits) of the digest, as in the SQL form
+        h = hashlib.md5(tok.encode("utf-8")).hexdigest()[: n_bits // 4]
+        return lut[np.frombuffer(h.encode(), dtype=np.uint8)].reshape(n_bits)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                t = text.strip() if text is not None else ""
+                toks = re.split(r"\s+", t) if t != "" else [""]
+                votes = np.zeros(n_bits, dtype=np.int64)
+                for tok, cnt in Counter(toks).items():
+                    votes += cnt * (2 * bits_of(tok) - 1)
+                out.append("".join("1" if v > 0 else "0" for v in votes))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash_bits": out})
+
+    return df.select("doc_id", text_col).mapInPandas(run, out_schema)
