@@ -226,3 +226,54 @@ def test_compaction_matches_read_results(spark, corpus_dir):
         assert glob.glob(os.path.join(out, "findings", "epoch=*", "key_bucket=*"))
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_fragment_assembly_stateful(spark):
+    """Partial-CPG-fragment state (north_star): html chunks arrive out of
+    order across micro-batches; the state store buffers fragments per url
+    and each document's CPG is built exactly once, at completion — results
+    equal the unchunked batch scan."""
+    import os
+
+    from joern_spark.cpg.build import build_cpg
+    from joern_spark.extract import extract_script_text
+    from joern_spark.query.cpgql import Q
+    from joern_spark.query.scan import default_bundle
+    from joern_spark.sources.corpus import make_pages
+    from joern_spark.streaming.stateful import (assemble_cpg_fragments,
+                                                chunked_pages)
+
+    base = tempfile.mkdtemp(prefix="frag_")
+    try:
+        pages = make_pages(spark, n_docs=20, n_partitions=2)
+        chunks = chunked_pages(pages, n_parts=3)
+        # write scrambled chunks as several files → several micro-batches,
+        # so most documents complete across batch boundaries
+        chunks_dir = os.path.join(base, "chunks")
+        chunks.repartition(5).write.parquet(chunks_dir)
+
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(chunks_dir).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chunks_dir))
+        assembled = assemble_cpg_fragments(stream)
+        rows = []
+
+        def sink(batch_df, batch_id):
+            rows.extend(batch_df.collect())
+
+        q = (assembled.writeStream.outputMode("append")
+             .option("checkpointLocation", os.path.join(base, "cp"))
+             .foreachBatch(sink).trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+        got = {r.url: (r.n_parts, r.n_nodes, r.n_findings) for r in rows}
+        assert len(got) == 20  # every document completed exactly once
+        # expected: unchunked batch build per page
+        for p in pages.collect():
+            cpg = build_cpg(extract_script_text(bytes(p.html).decode()), p.url)
+            qq = Q(cpg)
+            nf = sum(1 for query in default_bundle()
+                     if int(query.matcher(cpg, qq)) > 0)
+            assert got[p.url] == (3, len(cpg.nodes), nf), p.url
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
