@@ -399,6 +399,30 @@ class AstLowerer:
     def _ast_yield_expression(self, js) -> Ast:
         return self._ast_return_statement(js)
 
+    def _ast_with_statement(self, js) -> Ast:
+        """astForWithStatement (AstForStatementsCreator.scala:43-58): a
+        BLOCK holding the object expression followed by the body's
+        statements (flattened when the body is a block)."""
+        block = self.block_node(js, self.code_of_node(js))
+        self.scope.push_block()
+        self.local_parent_stack.append(block)
+        obj = self.ast_for_node_with_fref(js["object"])
+        body = js["body"]
+        if body["type"] == "BlockStatement":
+            children = [obj] + self.block_statement_asts(body["body"])
+        else:
+            children = [obj, self.ast_for_node_with_fref(body)]
+        self.local_parent_stack.pop()
+        self.scope.pop()
+        return Ast(block).with_children(children)
+
+    def _ast_tsnon_null_expression(self, js) -> Ast:
+        """astForTSNonNullExpression: `expr!` → <operator>.notNullAssert."""
+        arg = self.ast_for_node_with_fref(js["expression"])
+        call = self.call_node(js, self.code_of_node(js),
+                              "<operator>.notNullAssert", STATIC)
+        return self.call_ast(call, [arg])
+
     def _ast_if_statement(self, js) -> Ast:
         cond = self.ast_for_node_with_fref(js["test"])
         then = self.ast_for_node_with_fref(js["consequent"])
@@ -804,10 +828,11 @@ class AstLowerer:
     _ast_arrow_function_expression = _ast_function_declaration
 
     def ast_for_function(self, js, create_reference: bool = False,
-                         create_assignment: bool = False) -> Ast:
+                         create_assignment: bool = False,
+                         code_override: str | None = None) -> Ast:
         """createMethodAstAndNode (AstForFunctionsCreator.scala:396-498)."""
         name, full_name = self.method_name_and_fullname(js)
-        code = self.code_of_node(js)
+        code = code_override if code_override is not None else self.code_of_node(js)
         method_ref = None
         if create_reference:
             method_ref = Node("METHOD_REF", code=name, method_full_name=full_name,
@@ -991,6 +1016,9 @@ class AstLowerer:
         return Ast(self.literal_node(js, self.code_of_node(js), "__ecma.Number"))
 
     def _ast_string_literal(self, js) -> Ast:
+        # astForStringLiteral (AstForPrimitivesCreator.scala:35-38):
+        # code = '"' + COOKED value + '"' (escapes processed, quote style
+        # normalized) — strippedCode then peels one outer pair
         return Ast(self.literal_node(js, f'"{js["value"]}"', "__ecma.String"))
 
     def _ast_boolean_literal(self, js) -> Ast:
@@ -1238,9 +1266,15 @@ class AstLowerer:
 
     _ast_object_pattern = _ast_object_expression
 
+    MAX_INITIALIZERS = 1000  # AstForExpressionsCreator.scala:338
+
     def _ast_array_expression(self, js) -> Ast:
-        """astForArrayExpression: tmp + .push() lowering."""
-        elements = [e for e in js.get("elements", [])]
+        """astForArrayExpression: tmp + .push() lowering; initializer lists
+        beyond MAX_INITIALIZERS truncate to a <too-many-initializers>
+        placeholder literal (AstForExpressionsCreator.scala:398-401)."""
+        all_elements = [e for e in js.get("elements", [])]
+        truncated = len(all_elements) > self.MAX_INITIALIZERS
+        elements = all_elements[: self.MAX_INITIALIZERS]
         if not elements:
             return Ast(self.call_node(js, f"{ARRAY_FACTORY}()", ARRAY_FACTORY, STATIC))
         block = self.block_node(js, self.code_of_node(js))
@@ -1276,6 +1310,10 @@ class AstLowerer:
             self.scope.add_reference(tmp, this_push)
             elem_asts.append(self.call_ast(push_call, [elem_ast], base=Ast(this_push),
                                            receiver=receiver))
+        if truncated:
+            ph = Node("LITERAL", code="<too-many-initializers>",
+                      type_full_name=ANY, **self._pos(js))
+            elem_asts.append(Ast(ph))
         tmp_ret = self.identifier_node(js, tmp)
         self.scope.add_reference(tmp, tmp_ret)
         self.scope.pop()
@@ -1461,14 +1499,26 @@ class AstLowerer:
         td_ast = Ast(td)
         self.method_parent_stack.append(td)
         self.scope_name_stack.append(name)
+        saw_constructor = False
         for member in js["body"]["body"]:
             if member["type"] == "ClassMethod":
                 key_name = member["key"].get("name", self.code_of_node(member["key"]))
+                is_ctor = (member.get("kind") == "constructor"
+                           or key_name == "constructor")
+                if is_ctor:
+                    # explicit constructor: method named <init>
+                    # (x2cpg Defines.ConstructorMethodName), NOT a MEMBER
+                    # (AstForTypesCreator: allMembers.diff(constructor))
+                    key_name = "<init>"
+                    saw_constructor = True
                 m_js = dict(member)
                 m_js["type"] = "FunctionExpression"
                 m_js["id"] = {"name": key_name, "start": member["key"]["start"],
                               "end": member["key"]["end"], "type": "Identifier"}
                 self.ast_for_function(m_js)
+                if is_ctor:
+                    self._mark_constructor(f"{full_name}:<init>")
+                    continue
                 mem = Node("MEMBER", name=key_name, code=self.code_of_node(member),
                            **self._pos(member))
                 td_ast.with_child(Ast(mem))
@@ -1477,6 +1527,21 @@ class AstLowerer:
                 mem = Node("MEMBER", name=key_name, code=self.code_of_node(member),
                            **self._pos(member))
                 td_ast.with_child(Ast(mem))
+        if not saw_constructor:
+            # createClassConstructor's default branch: every class gets a
+            # constructor METHOD named <init>, code "constructor() {}"
+            # (AstForTypesCreator.scala:157-177)
+            fake = {
+                "type": "FunctionExpression",
+                "id": {"name": "<init>", "start": js["start"],
+                       "end": js["start"], "type": "Identifier"},
+                "params": [],
+                "body": {"type": "BlockStatement", "body": [],
+                         "start": js["start"], "end": js["start"]},
+                "start": js["start"], "end": js["start"],
+            }
+            self.ast_for_function(fake, code_override="constructor() {}")
+            self._mark_constructor(f"{full_name}:<init>")
         self.scope_name_stack.pop()
         self.method_parent_stack.pop()
         td_ast.store(self.cpg)
@@ -1492,6 +1557,16 @@ class AstLowerer:
                 Ast(id_node), Ast(type_ref), f"class {name}",
                 self.line_of(js["start"]), self.col_of(js["start"]))
         return Ast(type_ref)
+
+    def _mark_constructor(self, method_full_name: str):
+        """Attach the CONSTRUCTOR modifier to the method (reference:
+        dstGraph.addEdge(methodNode, NewModifier().modifierType(CONSTRUCTOR),
+        AST) in createClassConstructor)."""
+        for n in reversed(self.cpg.nodes):
+            if n.label == "METHOD" and n.full_name == method_full_name:
+                mod = Node("MODIFIER", modifier_type="CONSTRUCTOR", code="<empty>")
+                self.cpg.add_edge(n, mod, "AST")
+                return
 
     def _ast_class_declaration(self, js) -> Ast:
         return self._ast_class(js, create_assignment=True)

@@ -21,6 +21,7 @@ KEYWORDS = {
     "null", "true", "false", "this", "class", "extends", "static", "super",
     "break", "continue", "switch", "case", "default", "throw", "try",
     "catch", "finally", "import", "export", "from", "as", "await", "yield",
+    "with",
 }
 
 PUNCT = [
@@ -334,6 +335,14 @@ class Parser:
                 return self.parse_switch()
             if v == "try":
                 return self.parse_try()
+            if v == "with":
+                kw = self.eat("with")
+                self.eat("(")
+                obj = self.parse_expression()
+                self.eat(")")
+                body = self.parse_statement()
+                return self.node("WithStatement", kw.start, body["end"],
+                                 object=obj, body=body)
             if v in ("import", "export"):
                 return self.parse_module_decl()
         if k == "id" and self.peek(1).value == ":" and self.peek(1).kind == "punct":
@@ -394,7 +403,7 @@ class Parser:
                 props.append(self.node("RestElement", pt.start, arg["end"], argument=arg))
             else:
                 key = self.parse_property_key()
-                computed = False
+                computed = key.get("computed_key", False)
                 if self.opt(":"):
                     value = self.parse_binding_target()
                     if self.opt("="):
@@ -453,6 +462,8 @@ class Parser:
             self.eat("[")
             e = self.parse_assignment()
             self.eat("]")
+            e = dict(e)
+            e["computed_key"] = True  # `[expr]:` — Babel property.computed
             return e
         tok = self.eat()
         return self.node("Identifier", tok.start, tok.end, name=tok.value)
@@ -896,6 +907,13 @@ class Parser:
                 tpl = self.parse_primary()
                 expr = self.node("TaggedTemplateExpression", expr["start"], tpl["end"],
                                  tag=expr, quasi=tpl)
+            elif (self.peek().kind == "punct" and self.peek().value == "!"
+                  and not self.peek().nl_before):
+                # TS non-null assertion `expr!` (a bare `!` postfix — `!=`
+                # and `!==` lex as single tokens, so no ambiguity)
+                bang = self.eat("!")
+                expr = self.node("TSNonNullExpression", expr["start"], bang.end,
+                                 expression=expr)
             else:
                 return expr
 
@@ -1022,7 +1040,7 @@ class Parser:
                 if pt.value in ("get", "set") and self.peek(1).value not in (",", ":", "(", "}"):
                     kind = self.eat().value
                 key = self.parse_property_key()
-                computed = False
+                computed = key.get("computed_key", False)
                 if self.at("("):
                     params = self.parse_params()
                     body = self.parse_block()
@@ -1086,10 +1104,57 @@ class Parser:
                          expressions=expressions)
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+             "v": "\v", "0": "\0", "'": "'", '"': '"', "`": "`", "\\": "\\"}
+
+
 def _strip_str(tok_text: str) -> str:
+    """COOKED string value (Babel `value`): outer quotes removed, standard
+    escapes processed — the CPG literal code is '"' + value + '"'."""
     if len(tok_text) >= 2 and tok_text[0] in "'\"" and tok_text[-1] == tok_text[0]:
-        return tok_text[1:-1]
-    return tok_text
+        inner = tok_text[1:-1]
+    else:
+        return tok_text
+    if "\\" not in inner:
+        return inner
+    out = []
+    i = 0
+    n = len(inner)
+    while i < n:
+        c = inner[i]
+        if c != "\\" or i + 1 >= n:
+            out.append(c)
+            i += 1
+            continue
+        e = inner[i + 1]
+        if e in _ESCAPES:
+            out.append(_ESCAPES[e])
+            i += 2
+        elif e == "x" and i + 3 < n + 1:
+            try:
+                out.append(chr(int(inner[i + 2:i + 4], 16)))
+                i += 4
+            except ValueError:
+                out.append(e)
+                i += 2
+        elif e == "u":
+            try:
+                if i + 2 < n and inner[i + 2] == "{":
+                    j = inner.index("}", i + 3)
+                    out.append(chr(int(inner[i + 3:j], 16)))
+                    i = j + 1
+                else:
+                    out.append(chr(int(inner[i + 2:i + 6], 16)))
+                    i += 6
+            except (ValueError, IndexError):
+                out.append(e)
+                i += 2
+        elif e == "\n":
+            i += 2  # line continuation
+        else:
+            out.append(e)
+            i += 2
+    return "".join(out)
 
 
 def _to_pattern(node):

@@ -107,6 +107,24 @@ class Steps:
     def is_method_ref(self) -> "Steps":
         return self._label("METHOD_REF")
 
+    def is_local(self) -> "Steps":
+        return self._label("LOCAL")
+
+    def is_method(self) -> "Steps":
+        return self._label("METHOD")
+
+    def is_type_ref(self) -> "Steps":
+        return self._label("TYPE_REF")
+
+    def is_field_identifier(self) -> "Steps":
+        return self._label("FIELD_IDENTIFIER")
+
+    def is_jump_target(self) -> "Steps":
+        return self._label("JUMP_TARGET")
+
+    def is_parameter(self) -> "Steps":
+        return self._label("METHOD_PARAMETER_IN")
+
     def is_expression(self) -> "Steps":
         return self.filter(lambda n: n.is_expression)
 
@@ -499,3 +517,19 @@ class Q:
     def field_access(self) -> Steps:
         return Steps(self.cpg, [n for n in self.cpg.nodes
                                 if n.label == "CALL" and n.name == "<operator>.fieldAccess"])
+
+    def type_decl(self, regex: str | None = None) -> Steps:
+        s = Steps(self.cpg, [n for n in self.cpg.nodes if n.label == "TYPE_DECL"])
+        return s.name(regex) if regex else s
+
+    def file(self) -> Steps:
+        return Steps(self.cpg, [n for n in self.cpg.nodes if n.label == "FILE"])
+
+    def namespace_block(self) -> Steps:
+        return Steps(self.cpg, [n for n in self.cpg.nodes
+                                if n.label == "NAMESPACE_BLOCK"])
+
+    def control_structure(self, cs_type: str | None = None) -> Steps:
+        s = Steps(self.cpg, [n for n in self.cpg.nodes
+                             if n.label == "CONTROL_STRUCTURE"])
+        return s.filter(lambda n: n.control_structure_type == cs_type) if cs_type else s

@@ -83,7 +83,9 @@ p.len();
     udt = next(u for u in prog["userDefinedTypes"]
                if u["name"].endswith(":Point"))
     assert [f["name"] for f in udt["fields"]] == ["x"]
-    assert [p["callName"] for p in udt["procedures"]] == ["len"]
+    # typeDecl.method includes the (default) constructor, as in the
+    # reference's userDefinedTypes
+    assert sorted(p["callName"] for p in udt["procedures"]) == ["<init>", "len"]
     # and the object slice tracks the constructor + invocation
     sl = next(s for ms in prog["objectSlices"] for s in ms["slices"]
               if s["targetObj"]["name"] == "p")
