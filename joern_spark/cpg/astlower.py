@@ -15,7 +15,7 @@ from typing import Optional
 
 from joern_spark.cpg.core import Ast, Cpg, Node
 from joern_spark.frontends.js.builtins import ARRAY_FACTORY, GLOBAL_BUILTINS
-from joern_spark.frontends.js.jsparser import parse
+from joern_spark.frontends.js.jsparser import _to_pattern, parse
 
 ANY = "ANY"
 STATIC = "STATIC_DISPATCH"
@@ -841,6 +841,9 @@ class AstLowerer:
         if create_assignment and create_reference:
             id_node = self.identifier_node(js, name)
             id_local = self.local_node(js, name)
+            # the declared function's local is typed with the method full
+            # name (reference: astForFunctionDeclaration localNode typeFullName)
+            id_local.type_full_name = full_name
             self.cpg.add_node(id_local)
             if self.local_parent_stack:
                 self.cpg.add_edge(self.local_parent_stack[-1], id_local, "AST")
@@ -955,10 +958,16 @@ class AstLowerer:
                     if raw is None:
                         continue
                     if raw.get("type") == "RestElement":
-                        continue
-                    target = value if value is not None else raw
-                    if target.get("type") != "Identifier":
-                        continue
+                        # handleRestInParameters: `rest = paramN.rest`
+                        # (fieldAccess by the rest name, `...` stripped)
+                        target = raw.get("argument", raw)
+                        if target.get("type") != "Identifier":
+                            continue
+                        key = None  # field name = element name
+                    else:
+                        target = value if value is not None else raw
+                        if target.get("type") != "Identifier":
+                            continue
                     ename = target["name"]
                     local = self.local_node(target, ename)
                     self.cpg.add_node(local)
@@ -1350,6 +1359,11 @@ class AstLowerer:
             id_info = left["left"]
         else:
             id_info = left
+        # `for({a,b,c} of x)` / `for([a,b] of x)`: the LHS parses as an
+        # EXPRESSION — Babel (and the reference lowering) treat it as a
+        # destructuring pattern, same as the declaration form
+        if id_info["type"] in ("ObjectExpression", "ArrayExpression"):
+            id_info = _to_pattern(id_info)
         block = self.block_node(js, self.code_of_node(js))
         self.scope.push_block()
         self.local_parent_stack.append(block)
@@ -1399,9 +1413,11 @@ class AstLowerer:
             self.scope.add_reference(ln, lv_node)
             loop_var_nodes.append(lv_node)
 
-        # test: !(_result = _iterator.next()).done
+        # test: !(_result = _iterator.next()).done — the reference names
+        # this Operators.not, NOT logicalNot (AstForStatementsCreator:278;
+        # general `!` is logicalNot, this desugaring is the exception)
         test_call = self.call_node(js, f"!({result_name} = {iterator_name}.next()).done",
-                                   "<operator>.logicalNot", STATIC)
+                                   "<operator>.not", STATIC)
         done_base = self.call_node(js, f"({result_name} = {iterator_name}.next())",
                                    "<operator>.assignment", STATIC)
         lhs_node = self.identifier_node(js, result_name)
