@@ -82,50 +82,149 @@ UNARY_OPERATORS = {
 
 
 class Scope:
-    def __init__(self, kind: str, method: Optional[Node] = None):
+    """One element of the PERSISTENT scope tree (VariableScopeManager's
+    ScopeElement): pops move the cursor up but elements survive so that
+    reference linking can run over the whole file at the end."""
+
+    __slots__ = ("kind", "method", "block", "capturing_ref", "variables", "parent")
+
+    def __init__(self, kind: str, method: Optional[Node] = None,
+                 parent: Optional["Scope"] = None):
         self.kind = kind  # "method" | "block"
         self.method = method  # owning METHOD node for method scopes
+        self.block: Optional[Node] = None  # the method's body BLOCK
+        self.capturing_ref: Optional[Node] = None  # METHOD_REF, if any
         self.variables: dict[str, Node] = {}
-        # pending references: (name, identifier_node, crossed_methods)
-        self.pending: list[tuple[str, Node, list[Node]]] = []
+        self.parent = parent
 
 
 class ScopeManager:
-    """Simplified VariableScopeManager (x2cpg datastructures): tracks
-    declarations, resolves identifier references to them (REF edges), and
-    records closure captures when a reference crosses a method boundary."""
+    """Behavioral port of x2cpg VariableScopeManager: declarations register
+    in a persistent scope tree; identifier references are PENDING until the
+    file is fully lowered, then `finalize` resolves them —
+    createVariableReferenceLinks (VariableScopeManager.scala:334-396):
+
+    - unresolved names create a LOCAL in the reference's enclosing METHOD
+      scope block (resolve:451-466),
+    - references that cross method boundaries materialize a capture chain:
+      a CLOSURE_BINDING (id = methodFullName:var, CAPTURE edge from the
+      method's METHOD_REF) plus a shadow LOCAL with that closureBindingId
+      in each crossed method; the identifier REFs the innermost shadow and
+      each binding REFs the next level out (nextLinkStep:366-395)."""
 
     def __init__(self, cpg: Cpg):
         self.cpg = cpg
-        self.stack: list[Scope] = []
+        self.current: Optional[Scope] = None
+        # (name, identifier_node, scope_at_use)
+        self.pending: list[tuple[str, Node, Scope]] = []
 
-    def push_method(self, method: Node):
-        self.stack.append(Scope("method", method))
+    # --- stack interface used by the lowerer --------------------------------
+    def push_method(self, method: Node, capturing_ref: Optional[Node] = None):
+        self.current = Scope("method", method, parent=self.current)
+        self.current.capturing_ref = capturing_ref
 
     def push_block(self):
-        self.stack.append(Scope("block"))
+        self.current = Scope("block", parent=self.current)
 
-    def add_variable(self, name: str, node: Node):
-        self.stack[-1].variables[name] = node
+    def set_scope_block(self, block: Node):
+        self.current.block = block
+
+    def set_capturing_ref(self, ref: Optional[Node]):
+        scope = self._enclosing_method(self.current)
+        if scope is not None:
+            scope.capturing_ref = ref
+
+    def add_variable(self, name: str, node: Node, function_scoped: bool = False):
+        """`var` declarations are FUNCTION-scoped (ScopeType.MethodScope):
+        they register in the nearest enclosing method scope; the LOCAL node
+        itself stays where it was declared."""
+        scope = self._enclosing_method(self.current) if function_scoped else self.current
+        (scope or self.current).variables[name] = node
 
     def add_reference(self, name: str, ident: Node):
-        self.stack[-1].pending.append((name, ident, []))
+        self.pending.append((name, ident, self.current))
 
     def pop(self):
-        scope = self.stack.pop()
-        unresolved = []
-        for name, ident, crossed in scope.pending:
-            decl = scope.variables.get(name)
-            if decl is not None:
-                self.cpg.add_edge(ident, decl, "REF")
-                for m in crossed:
-                    self.cpg.captures.append((decl, m))
-            else:
-                if scope.kind == "method" and scope.method is not None:
-                    crossed = crossed + [scope.method]
-                unresolved.append((name, ident, crossed))
-        if self.stack:
-            self.stack[-1].pending.extend(unresolved)
+        self.current = self.current.parent
+
+    # --- end-of-file linking -------------------------------------------------
+    @staticmethod
+    def _enclosing_method(scope: Optional[Scope]) -> Optional[Scope]:
+        while scope is not None and scope.kind != "method":
+            scope = scope.parent
+        return scope
+
+    @staticmethod
+    def _try_resolve(scope: Scope, name: str) -> Optional[Node]:
+        while scope is not None:
+            v = scope.variables.get(name)
+            if v is not None:
+                return v
+            scope = scope.parent
+        return None
+
+    def _create_local(self, scope: Scope, name: str,
+                      closure_binding_id: Optional[str] = None) -> Node:
+        local = Node("LOCAL", name=name, code=name, type_full_name="ANY",
+                     order=0, closure_binding_id=closure_binding_id)
+        self.cpg.add_node(local)
+        if scope.block is not None:
+            self.cpg.add_edge(scope.block, local, "AST")
+        return local
+
+    def finalize(self):
+        """createVariableReferenceLinks: resolve + link every pending ref.
+
+        Iteration is LIFO (the reference PREPENDS to pendingReferences,
+        VariableScopeManager.scala:302) — with function declarations hoisted
+        before other statements, the OUTER use of an undeclared name is
+        recorded last and therefore resolved first, which is what puts the
+        created local in the outer method rather than the closure."""
+        captured_locals: dict[str, Node] = {}
+        captured_bindings: dict[str, Node] = {}
+        for name, ident, use_scope in reversed(self.pending):
+            var_node = self._try_resolve(use_scope, name)
+            if var_node is None:
+                m_scope = self._enclosing_method(use_scope)
+                if m_scope is None:
+                    continue
+                var_node = self._create_local(m_scope, name)
+                m_scope.variables[name] = var_node
+            # linking walk (nextLinkStep)
+            scope = use_scope
+            current_ref = ident
+            crossed_methods: list[Node] = []
+            while scope is not None:
+                if scope.variables.get(name) is not None:
+                    self.cpg.add_edge(current_ref, var_node, "REF")
+                    break
+                if scope.kind == "method":
+                    full = scope.method.full_name if scope.method else ""
+                    cb_id = f"{full}:{name}"
+                    existing = captured_locals.get(cb_id)
+                    if existing is not None:
+                        # Terminate(existing): a capture chain for this
+                        # (method, name) already exists — reuse its shadow
+                        self.cpg.add_edge(current_ref, existing, "REF")
+                        break
+                    binding = Node("CLOSURE_BINDING", code="<empty>",
+                                   closure_binding_id=cb_id,
+                                   evaluation_strategy="BY_REFERENCE")
+                    self.cpg.add_node(binding)
+                    if scope.capturing_ref is not None:
+                        self.cpg.add_edge(scope.capturing_ref, binding, "CAPTURE")
+                    shadow = self._create_local(scope, name,
+                                                closure_binding_id=cb_id)
+                    captured_locals[cb_id] = shadow
+                    captured_bindings[cb_id] = binding
+                    self.cpg.add_edge(current_ref, shadow, "REF")
+                    current_ref = binding
+                    if scope.method is not None:
+                        crossed_methods.append(scope.method)
+                scope = scope.parent
+            # legacy capture pairs consumed by the DDG/engine layers
+            for m in crossed_methods:
+                self.cpg.captures.append((var_node, m))
 
 
 class AstLowerer:
@@ -277,8 +376,9 @@ class AstLowerer:
         prog_ast = self._program_method(program)
         ast = Ast(file_node).with_child(Ast(ns).with_child(prog_ast))
         ast.store(self.cpg)
-        while self.scope.stack:
+        while self.scope.current is not None:
             self.scope.pop()
+        self.scope.finalize()
         self._add_contains_edges()
         self._link_parameter_outs()
         self._add_file_and_type_edges()
@@ -315,6 +415,7 @@ class AstLowerer:
         self.method_parent_stack.append(method)
         block = self.block_node(program)
         self.scope.push_method(method)
+        self.scope.set_scope_block(block)
         self.scope_name_stack.append(name)
         self.local_parent_stack.append(block)
 
@@ -634,7 +735,9 @@ class AstLowerer:
         declarator_code = f"{kind} {self.code_of_node(decl)}"
         id_name = idj.get("name", self.code_of_node(idj))
         local = self.local_node(decl, id_name)
-        self.scope.add_variable(id_name, local)
+        # let is block-scoped; var AND const are MethodScope in the
+        # reference (AstForDeclarationsCreator.scala:306-307)
+        self.scope.add_variable(id_name, local, function_scoped=(kind != "let"))
         self.cpg.add_node(local)
         if self.local_parent_stack:
             self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")
@@ -724,7 +827,9 @@ class AstLowerer:
         local = self.local_node(element, ename)
         self.cpg.add_node(local)
         self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")
-        self.scope.add_variable(ename, local)
+        # destructure element locals are MethodScope
+        # (AstForDeclarationsCreator.scala:640/:660)
+        self.scope.add_variable(ename, local, function_scoped=True)
         line, col = self.line_of(element["start"]), self.col_of(element["start"])
         base = self.identifier_node(element, tmp)
         self.scope.add_reference(tmp, base)
@@ -741,7 +846,9 @@ class AstLowerer:
         local = self.local_node(element, ename)
         self.cpg.add_node(local)
         self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")
-        self.scope.add_variable(ename, local)
+        # destructure element locals are MethodScope
+        # (AstForDeclarationsCreator.scala:640/:660)
+        self.scope.add_variable(ename, local, function_scoped=True)
         line, col = self.line_of(element["start"]), self.col_of(element["start"])
         base = self.identifier_node(element, tmp)
         self.scope.add_reference(tmp, base)
@@ -860,7 +967,8 @@ class AstLowerer:
 
         body_js = js["body"]
         block = self.block_node(body_js, self.code_of_node(body_js))
-        self.scope.push_method(method)
+        self.scope.push_method(method, capturing_ref=method_ref)
+        self.scope.set_scope_block(block)
         self.scope_name_stack.append(name)
         self.local_parent_stack.append(block)
 

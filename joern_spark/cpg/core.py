@@ -64,6 +64,7 @@ class Node:
         "method_full_name", "control_structure_type", "parser_type_name",
         "evaluation_strategy", "index", "is_external", "canonical_name",
         "modifier_type", "is_variadic", "signature", "filename", "start", "end",
+        "closure_binding_id",
     )
 
     def __init__(self, label: str, **kw):
@@ -92,6 +93,7 @@ class Node:
         self.filename = kw.get("filename", "")
         self.start = kw.get("start")
         self.end = kw.get("end")
+        self.closure_binding_id = kw.get("closure_binding_id")
 
     # label predicates -------------------------------------------------------
     @property

@@ -32,9 +32,14 @@ def test_connection_slice():
     assert sl["definedBy"]["name"] == "createConnection"
     # require-typing resolves the module method (XTypeRecovery subset)
     assert sl["definedBy"]["resolvedMethod"] == "mysql:createConnection"
-    assert {c["callName"] for c in sl["invokedCalls"]} == {
-        "connect", "query", "end"}
-    q = next(c for c in sl["invokedCalls"] if c["callName"] == "query")
+    # the :program-level connection sees its direct uses; the `query`
+    # invocation inside queryDatabase belongs to the CAPTURED shadow local
+    # (closure-binding semantics split usages per method, as the reference
+    # slicer does over reference CPGs)
+    assert {c["callName"] for c in sl["invokedCalls"]} == {"connect", "end"}
+    shadow = by_obj[("simple.js::program:queryDatabase", "connection")]
+    assert shadow["targetObj"]["label"] == "LOCAL"
+    q = next(c for c in shadow["invokedCalls"] if c["callName"] == "query")
     # query("SELECT..." + sql, function(...){}) → [string-ish, LAMBDA]
     assert q["paramTypes"][-1] == "LAMBDA"
 
