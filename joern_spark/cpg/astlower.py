@@ -175,14 +175,25 @@ class ScopeManager:
     def finalize(self):
         """createVariableReferenceLinks: resolve + link every pending ref.
 
-        Iteration is LIFO (the reference PREPENDS to pendingReferences,
-        VariableScopeManager.scala:302) — with function declarations hoisted
-        before other statements, the OUTER use of an undeclared name is
-        recorded last and therefore resolved first, which is what puts the
-        created local in the outer method rather than the closure."""
+        Resolution order: shallowest use first (stable).  The reference's
+        expected outputs require the OUTER use of an undeclared name to
+        win — its local is created in the outer method and inner uses
+        become captures (MixedAstCreationPassTests: the two-anonymous-
+        functions and hoisted-function cases both place the local in foo).
+        Ordering by scope depth realizes that invariant for hoisted AND
+        non-hoisted recording orders; sibling scopes stay independent
+        because creation in one is invisible to the other's chain."""
+        def depth(scope: Optional[Scope]) -> int:
+            d = 0
+            while scope is not None:
+                d += 1
+                scope = scope.parent
+            return d
+
+        ordered = sorted(self.pending, key=lambda p: depth(p[2]))
         captured_locals: dict[str, Node] = {}
         captured_bindings: dict[str, Node] = {}
-        for name, ident, use_scope in reversed(self.pending):
+        for name, ident, use_scope in ordered:
             var_node = self._try_resolve(use_scope, name)
             if var_node is None:
                 m_scope = self._enclosing_method(use_scope)
@@ -744,6 +755,25 @@ class AstLowerer:
         if init is None:
             return Ast()
         source_ast = self.ast_for_node_with_fref(init)
+        # `x = require("src")` declarators get an IMPORT + DEPENDENCY
+        # (ImportsPass / astForDeconstruction:555-575 require handling)
+        if (init.get("type") == "CallExpression"
+                and init.get("callee", {}).get("name") == "require"
+                and init.get("arguments")
+                and init["arguments"][0].get("type") == "StringLiteral"):
+            group_id = init["arguments"][0]["value"]
+            req_call = next((n for n in source_ast.nodes
+                             if n.label == "CALL" and n.name == "require"), None)
+            names = ([id_name] if idj["type"] == "Identifier" else
+                     [self.code_of_node(p.get("value", p) if p.get("value") else p)
+                      for p in idj.get("properties", idj.get("elements", []))
+                      if p])
+            for nm in names:
+                self._create_import_node(
+                    f"{nm} = require(\"{group_id}\")", group_id, nm, req_call,
+                    group_name=nm, group_id=group_id, version="require",
+                    line=self.line_of(decl["start"]),
+                    col=self.col_of(decl["start"]))
         if idj["type"] in ("ObjectPattern", "ArrayPattern"):
             return self.ast_for_deconstruction(idj, source_ast, declarator_code)
         dest = self.ast_for_node(idj)
@@ -1719,6 +1749,34 @@ class AstLowerer:
             return asts[0]
         return Ast(self.block_node(js, self.code_of_node(js))).with_children(asts)
 
+    def _create_import_node(self, code: str, imported_entity: str,
+                            imported_as: str, call: Optional[Node],
+                            group_name: str, group_id: str, version: str,
+                            line=None, col=None):
+        """createImportNodeAndAttachToCall + dependencyNode
+        (AstForDeclarationsCreator.scala:431-457, 333-360): IMPORT attached
+        to :program via AST, IS_CALL_FOR_IMPORT from the require call,
+        IMPORTS edge from the IMPORT to its DEPENDENCY."""
+        imp = Node("IMPORT", code=code, imported_entity=imported_entity,
+                   imported_as=imported_as, line=line, column=col)
+        self.cpg.add_node(imp)
+        program = next((m for m in self.method_parent_stack[::-1]
+                        if m.label == "METHOD" and m.name == ":program"),
+                       None)
+        if program is None:
+            program = next((n for n in self.cpg.nodes
+                            if n.label == "METHOD" and n.name == ":program"),
+                           None)
+        if program is not None:
+            self.cpg.add_edge(program, imp, "AST")
+        if call is not None:
+            self.cpg.add_edge(call, imp, "IS_CALL_FOR_IMPORT")
+        dep = Node("DEPENDENCY", name=group_name,
+                   dependency_group_id=group_id, version=version)
+        self.cpg.add_node(dep)
+        self.cpg.add_edge(imp, dep, "IMPORTS")
+        return imp
+
     def _require_assignment(self, js, name, alias, from_source, is_import_n=False) -> Ast:
         dest_name = alias or name
         dest = self.identifier_node(js, dest_name)
@@ -1738,6 +1796,14 @@ class AstLowerer:
         if is_import_n:
             part = self.field_identifier_node(js, _strip_quotes(name))
             c_ast = self.field_access_call(c_ast, part, line, col)
+        # IMPORT + DEPENDENCY for the import statement
+        # (astForImportDeclaration:333-360): importedEntity is "source:name"
+        # for named specifiers, plain source otherwise
+        entity = f"{from_source}:{name}" if is_import_n else from_source
+        self._create_import_node(
+            self.code_of_node(js).rstrip(";"), entity, dest_name, source_call,
+            group_name=dest_name, group_id=from_source, version="import",
+            line=line, col=col)
         return self.assignment_call(Ast(dest), c_ast,
                                     f"var {dest_name} = {_code_of(c_ast.root)}", line, col)
 

@@ -64,7 +64,8 @@ class Node:
         "method_full_name", "control_structure_type", "parser_type_name",
         "evaluation_strategy", "index", "is_external", "canonical_name",
         "modifier_type", "is_variadic", "signature", "filename", "start", "end",
-        "closure_binding_id",
+        "closure_binding_id", "imported_entity", "imported_as", "version",
+        "dependency_group_id",
     )
 
     def __init__(self, label: str, **kw):
@@ -94,6 +95,10 @@ class Node:
         self.start = kw.get("start")
         self.end = kw.get("end")
         self.closure_binding_id = kw.get("closure_binding_id")
+        self.imported_entity = kw.get("imported_entity")
+        self.imported_as = kw.get("imported_as")
+        self.version = kw.get("version", "")
+        self.dependency_group_id = kw.get("dependency_group_id", "")
 
     # label predicates -------------------------------------------------------
     @property
