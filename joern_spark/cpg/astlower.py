@@ -404,6 +404,13 @@ class AstLowerer:
             if n.label == "TYPE_DECL":
                 decls_by_name.setdefault(n.name, n)
         for child_name, super_name in self._pending_inherits:
+            if super_name not in decls_by_name:
+                # unknown supertype: external TYPE_DECL stub so the
+                # hierarchy (and inheritsFromTypeFullName) is still recorded
+                stub = Node("TYPE_DECL", name=super_name, full_name=super_name,
+                            code=super_name, is_external=True)
+                self.cpg.add_node(stub)
+                decls_by_name[super_name] = stub
             child = decls_by_name.get(child_name)
             sup = decls_by_name.get(super_name)
             if child is not None and sup is not None:
@@ -966,8 +973,11 @@ class AstLowerer:
 
     def ast_for_function(self, js, create_reference: bool = False,
                          create_assignment: bool = False,
-                         code_override: str | None = None) -> Ast:
-        """createMethodAstAndNode (AstForFunctionsCreator.scala:396-498)."""
+                         code_override: str | None = None,
+                         prelude_builder=None) -> Ast:
+        """createMethodAstAndNode (AstForFunctionsCreator.scala:396-498).
+        prelude_builder() (run inside the method scope) supplies statements
+        prepended to the body — constructorContent field initializers."""
         name, full_name = self.method_name_and_fullname(js)
         code = code_override if code_override is not None else self.code_of_node(js)
         method_ref = None
@@ -1020,7 +1030,8 @@ class AstLowerer:
         else:
             body_stmts = self.block_statement_asts(body_js["body"])
 
-        children = extra_stmts + body_stmts
+        prelude = prelude_builder() if prelude_builder is not None else []
+        children = extra_stmts + prelude + body_stmts
 
         self.local_parent_stack.pop()
         self.scope_name_stack.pop()
@@ -1653,35 +1664,91 @@ class AstLowerer:
         td_ast = Ast(td)
         self.method_parent_stack.append(td)
         self.scope_name_stack.append(name)
-        saw_constructor = False
+        ctor_member = None
+        prop_inits = []    # non-static ClassProperty members with a value
+        static_stmts = []  # ("prop", member) | ("block", stmt) for <clinit>
+
+        def add_member(key_name, member, static=False):
+            mem = Node("MEMBER", name=_strip_quotes(key_name),
+                       code=self.code_of_node(member), **self._pos(member))
+            td_ast.with_child(Ast(mem))
+            if static:
+                mod = Node("MODIFIER", modifier_type="STATIC", code="<empty>")
+                self.cpg.add_node(mod)
+                self.cpg.add_edge(mem, mod, "AST")
+            return mem
+
         for member in js["body"]["body"]:
-            if member["type"] == "ClassMethod":
+            mtype = member["type"]
+            if mtype == "ClassMethod":
                 key_name = member["key"].get("name", self.code_of_node(member["key"]))
-                is_ctor = (member.get("kind") == "constructor"
-                           or key_name == "constructor")
-                if is_ctor:
-                    # explicit constructor: method named <init>
-                    # (x2cpg Defines.ConstructorMethodName), NOT a MEMBER
+                if member.get("kind") == "constructor" or key_name == "constructor":
+                    # explicit constructor: method named <init>, NOT a MEMBER
                     # (AstForTypesCreator: allMembers.diff(constructor))
-                    key_name = "<init>"
-                    saw_constructor = True
+                    ctor_member = member
+                    continue
                 m_js = dict(member)
                 m_js["type"] = "FunctionExpression"
                 m_js["id"] = {"name": key_name, "start": member["key"]["start"],
                               "end": member["key"]["end"], "type": "Identifier"}
                 self.ast_for_function(m_js)
-                if is_ctor:
-                    self._mark_constructor(f"{full_name}:<init>")
-                    continue
-                mem = Node("MEMBER", name=key_name, code=self.code_of_node(member),
-                           **self._pos(member))
-                td_ast.with_child(Ast(mem))
-            elif member["type"] == "ClassProperty":
+                if member.get("static"):
+                    self._add_method_modifier(f"{full_name}:{key_name}", "STATIC")
+                add_member(key_name, member, static=member.get("static", False))
+            elif mtype == "ClassProperty":
                 key_name = member["key"].get("name", self.code_of_node(member["key"]))
-                mem = Node("MEMBER", name=key_name, code=self.code_of_node(member),
-                           **self._pos(member))
-                td_ast.with_child(Ast(mem))
-        if not saw_constructor:
+                add_member(key_name, member, static=member.get("static", False))
+                if member.get("value") is not None:
+                    if member.get("static"):
+                        static_stmts.append(("prop", member))
+                    else:
+                        prop_inits.append(member)
+            elif mtype == "StaticBlock":
+                for stmt in member["body"]:
+                    static_stmts.append(("block", stmt))
+
+        def prop_init_asts(members):
+            """Field initializers as `<name> = <value>` assignments with the
+            member's source span as code (constructorContent semantics)."""
+            out = []
+            for m in members:
+                key_name = m["key"].get("name", self.code_of_node(m["key"]))
+                lhs = self.identifier_node(m, _strip_quotes(key_name))
+                self.scope.add_reference(lhs.name, lhs)
+                rhs = self.ast_for_node_with_fref(m["value"])
+                out.append(self.assignment_call(
+                    Ast(lhs), rhs, self.code_of_node(m),
+                    self.line_of(m["start"]), self.col_of(m["start"])))
+            return out
+
+        # constructor (explicit or createFakeConstructor), with non-static
+        # field initializers prepended into its body
+        if ctor_member is not None:
+            m_js = dict(ctor_member)
+            m_js["type"] = "FunctionExpression"
+            m_js["id"] = {"name": "<init>", "start": ctor_member["key"]["start"],
+                          "end": ctor_member["key"]["end"], "type": "Identifier"}
+            self.ast_for_function(
+                m_js, prelude_builder=lambda: prop_init_asts(prop_inits))
+            # dynamically declared members: direct `this.X = ...` statements
+            # in the constructor body (isInitializedMember; chained accesses
+            # like this.f.g are NOT members)
+            for stmt in ctor_member["body"]["body"]:
+                expr = stmt.get("expression") if stmt["type"] == "ExpressionStatement" else None
+                if not expr or expr.get("type") != "AssignmentExpression":
+                    continue
+                left = expr.get("left", {})
+                if (left.get("type") == "MemberExpression"
+                        and not left.get("computed")
+                        and left.get("object", {}).get("type") == "ThisExpression"
+                        and left.get("property", {}).get("type") == "Identifier"):
+                    code = self.code_of_node(expr)
+                    if expr["end"] < len(self.src) and self.src[expr["end"]] == ";":
+                        code = code + ";"
+                    mem = Node("MEMBER", name=left["property"]["name"], code=code,
+                               **self._pos(expr))
+                    td_ast.with_child(Ast(mem))
+        else:
             # createClassConstructor's default branch: every class gets a
             # constructor METHOD named <init>, code "constructor() {}"
             # (AstForTypesCreator.scala:157-177)
@@ -1694,23 +1761,68 @@ class AstLowerer:
                          "start": js["start"], "end": js["start"]},
                 "start": js["start"], "end": js["start"],
             }
-            self.ast_for_function(fake, code_override="constructor() {}")
-            self._mark_constructor(f"{full_name}:<init>")
+            self.ast_for_function(
+                fake, code_override="constructor() {}",
+                prelude_builder=lambda: prop_init_asts(prop_inits))
+        self._mark_constructor(f"{full_name}:<init>")
+
+        # static initializer <clinit>: static field initializers + static
+        # blocks (x2cpg Defines.StaticInitMethodName)
+        if static_stmts:
+            fake = {
+                "type": "FunctionExpression",
+                "id": {"name": "<clinit>", "start": js["start"],
+                       "end": js["start"], "type": "Identifier"},
+                "params": [],
+                "body": {"type": "BlockStatement", "body": [],
+                         "start": js["start"], "end": js["start"]},
+                "start": js["start"], "end": js["start"],
+            }
+
+            def clinit_body():
+                out = []
+                for kind, item in static_stmts:
+                    if kind == "prop":
+                        out.extend(prop_init_asts([item]))
+                    else:
+                        out.append(self.ast_for_node_with_fref(item))
+                return out
+
+            self.ast_for_function(fake, code_override="<clinit>",
+                                  prelude_builder=clinit_body)
+
         self.scope_name_stack.pop()
         self.method_parent_stack.pop()
         td_ast.store(self.cpg)
         self.cpg.add_edge(self.method_parent_stack[-1], td, "AST")
-        # the class VALUE is a TypeRef (astForClass: TypeRef with code
-        # "class <name>"); declarations additionally assign it to the name
-        type_ref = Node("TYPE_REF", code=f"class {name}", type_full_name=td.full_name,
-                        **self._pos(js))
+        # the class VALUE: class EXPRESSIONS produce a TypeRef with code
+        # "class <name>"; class DECLARATIONS additionally assign the
+        # CONSTRUCTOR's METHOD_REF to the class name
+        # (JsClassesAstCreationPassTests "synthetic assignment for ClassA")
         if create_assignment:
+            ctor_full = f"{full_name}:<init>"
+            ctor = next((n for n in reversed(self.cpg.nodes)
+                         if n.label == "METHOD" and n.full_name == ctor_full), None)
+            ctor_ref = Node("METHOD_REF", code=(ctor.code if ctor else "constructor() {}"),
+                            method_full_name=ctor_full, type_full_name=ctor_full,
+                            **self._pos(js))
+            if ctor is not None:
+                self.cpg.add_edge(ctor_ref, ctor, "REF")
             id_node = self.identifier_node(js, name)
             self.scope.add_reference(name, id_node)
             return self.assignment_call(
-                Ast(id_node), Ast(type_ref), f"class {name}",
+                Ast(id_node), Ast(ctor_ref), f"class {name}",
                 self.line_of(js["start"]), self.col_of(js["start"]))
+        type_ref = Node("TYPE_REF", code=f"class {name}", type_full_name=td.full_name,
+                        **self._pos(js))
         return Ast(type_ref)
+
+    def _add_method_modifier(self, method_full_name: str, modifier_type: str):
+        for n in reversed(self.cpg.nodes):
+            if n.label == "METHOD" and n.full_name == method_full_name:
+                mod = Node("MODIFIER", modifier_type=modifier_type, code="<empty>")
+                self.cpg.add_edge(n, mod, "AST")
+                return
 
     def _mark_constructor(self, method_full_name: str):
         """Attach the CONSTRUCTOR modifier to the method (reference:

@@ -516,6 +516,11 @@ class Parser:
             if self.at("static") and self.peek(1).value not in ("(", "="):
                 self.eat("static")
                 static = True
+                if self.at("{"):
+                    body = self.parse_block()
+                    members.append(self.node("StaticBlock", mstart, body["end"],
+                                             body=body["body"]))
+                    continue
             kind = "method"
             if self.peek().value in ("get", "set") and self.peek(1).value not in ("(", "=", ";", "}"):
                 kind = self.eat().value
