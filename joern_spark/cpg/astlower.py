@@ -762,13 +762,14 @@ class AstLowerer:
         if init is None:
             return Ast()
         source_ast = self.ast_for_node_with_fref(init)
-        # `x = require("src")` declarators get an IMPORT + DEPENDENCY
-        # (ImportsPass / astForDeconstruction:555-575 require handling)
-        if (init.get("type") == "CallExpression"
-                and init.get("callee", {}).get("name") == "require"
-                and init.get("arguments")
-                and init["arguments"][0].get("type") == "StringLiteral"):
-            group_id = init["arguments"][0]["value"]
+        # `x = require("src")...` declarators (incl. chained member/call
+        # tails) get an IMPORT + DEPENDENCY (ImportsPass /
+        # astForDeconstruction:555-575: groupId = text between `require("`
+        # and the first `")`)
+        import re as _re
+        _m = _re.search(r'require\((["\'])(.*?)\1\)', self.code_of_node(init))
+        if _m:
+            group_id = _m.group(2)
             req_call = next((n for n in source_ast.nodes
                              if n.label == "CALL" and n.name == "require"), None)
             names = ([id_name] if idj["type"] == "Identifier" else
@@ -1291,6 +1292,9 @@ class AstLowerer:
                          if callee["type"] == "MemberExpression" else callee_code)
             call = self.call_node_at(self.code_of_node(js), call_name, STATIC,
                                      self.line_of(callee["start"]), self.col_of(callee["start"]))
+            # static builtins keep the DICTIONARY name as methodFullName
+            # ("JSON.parse"), not the short call name
+            call.method_full_name = callee_code
             args = [self.ast_for_node_with_fref(a) for a in js["arguments"]]
             return self.call_ast(call, args)
         receiver_ast, base_node, call_name = self._call_expression_info(callee)
@@ -1846,7 +1850,7 @@ class AstLowerer:
         source = js["source"]["value"] if js.get("source") else ""
         specifiers = js.get("specifiers", [])
         if not specifiers:
-            return self._require_assignment(js, source, None, source)
+            return self._require_assignment(js, source, None, source, bare=True)
         asts = []
         for spec in specifiers:
             name = spec["local"]["name"]
@@ -1889,7 +1893,8 @@ class AstLowerer:
         self.cpg.add_edge(imp, dep, "IMPORTS")
         return imp
 
-    def _require_assignment(self, js, name, alias, from_source, is_import_n=False) -> Ast:
+    def _require_assignment(self, js, name, alias, from_source,
+                            is_import_n=False, bare=False) -> Ast:
         dest_name = alias or name
         dest = self.identifier_node(js, dest_name)
         local = self.local_node(js, dest_name)
@@ -1910,8 +1915,9 @@ class AstLowerer:
             c_ast = self.field_access_call(c_ast, part, line, col)
         # IMPORT + DEPENDENCY for the import statement
         # (astForImportDeclaration:333-360): importedEntity is "source:name"
-        # for named specifiers, plain source otherwise
-        entity = f"{from_source}:{name}" if is_import_n else from_source
+        # for EVERY specifier form (named/default/namespace); plain source
+        # only for bare `import "source"`
+        entity = from_source if bare else f"{from_source}:{name}"
         self._create_import_node(
             self.code_of_node(js).rstrip(";"), entity, dest_name, source_call,
             group_name=dest_name, group_id=from_source, version="import",
@@ -1919,10 +1925,49 @@ class AstLowerer:
         return self.assignment_call(Ast(dest), c_ast,
                                     f"var {dest_name} = {_code_of(c_ast.root)}", line, col)
 
+    def _export_names_of(self, decl) -> list[str]:
+        t = decl.get("type")
+        if t == "VariableDeclaration":
+            return [d["id"]["name"] for d in decl.get("declarations", [])
+                    if d.get("id", {}).get("type") == "Identifier"]
+        if t in ("FunctionDeclaration", "ClassDeclaration") and decl.get("id"):
+            return [decl["id"]["name"]]
+        return []
+
     def _ast_export_named_declaration(self, js) -> Ast:
         if js.get("declaration"):
-            return self.ast_for_node_with_fref_and_call(js["declaration"])
+            decl_ast = self.ast_for_node_with_fref_and_call(js["declaration"])
+            names = self._export_names_of(js["declaration"])
+            if not names:
+                return decl_ast
+            # createExportCallAst + createExportAssignmentCallAst:
+            # `exports.<name> = <name>` per exported declaration
+            line, col = self.line_of(js["start"]), self.col_of(js["start"])
+            exports_asts = []
+            for name in names:
+                base = self.identifier_node(js, "exports")
+                self.scope.add_reference("exports", base)
+                part = self.field_identifier_node(js, name)
+                access = self.field_access_call(Ast(base), part, line, col)
+                rhs = self.identifier_node(js, name)
+                self.scope.add_reference(name, rhs)
+                exports_asts.append(self.assignment_call(
+                    access, Ast(rhs), f"exports.{name} = {name}", line, col))
+            block = self.block_node(js, self.code_of_node(js))
+            return Ast(block).with_child(decl_ast).with_children(exports_asts)
         return Ast()
+
+    def _ast_tsimport_equals_declaration(self, js) -> Ast:
+        """`import path = require('path')` — lowers like a require
+        declarator: local + `var path = require("path")` assignment."""
+        name = js["id"]["name"]
+        expr = js["expression"]
+        source = ""
+        if (expr.get("type") == "CallExpression"
+                and expr.get("callee", {}).get("name") == "require"
+                and expr.get("arguments")):
+            source = expr["arguments"][0].get("value", "")
+        return self._require_assignment(js, name, None, source, bare=True)
 
     def _ast_export_default_declaration(self, js) -> Ast:
         if js.get("declaration"):

@@ -661,6 +661,14 @@ class Parser:
                 st = self.eat()
                 source = self.node("StringLiteral", st.start, st.end, value=_strip_str(st.value))
             else:
+                # TS import-equals: `import path = require('path')`
+                if self.peek().kind == "id" and self.peek(1).value == "=":
+                    local = self.parse_identifier()
+                    self.eat("=")
+                    expr = self.parse_assignment()
+                    self.semicolon()
+                    return self.node("TSImportEqualsDeclaration", t.start,
+                                     expr["end"], id=local, expression=expr)
                 # default / named / namespace
                 if self.peek().kind == "id":
                     local = self.parse_identifier()
