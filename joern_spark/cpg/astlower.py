@@ -1934,28 +1934,146 @@ class AstLowerer:
             return [decl["id"]["name"]]
         return []
 
+    def _exports_assignment(self, js, exported: str, rhs_ast: Ast,
+                            rhs_code: str, line, col,
+                            default: bool = False) -> Ast:
+        """createExportCallAst + createExportAssignmentCallAst:
+        `exports.<exported> = <rhs>` (or exports["default"] = <rhs>)."""
+        # the synthetic `exports` base is NOT a scope reference (no local is
+        # created for it in the reference)
+        base = self.identifier_node(js, "exports")
+        if default:
+            key = Ast(self.literal_node(js, '"default"', "__ecma.String"))
+            access = self.index_access_call(Ast(base), key, line, col)
+            lhs_code = 'exports["default"]'
+        else:
+            part = self.field_identifier_node(js, exported)
+            access = self.field_access_call(Ast(base), part, line, col)
+            lhs_code = f"exports.{exported}"
+        return self.assignment_call(
+            access, rhs_ast, f"{lhs_code} = {rhs_code}", line, col)
+
+    def _ident_ast(self, js, name: str) -> Ast:
+        n = self.identifier_node(js, name)
+        self.scope.add_reference(name, n)
+        return Ast(n)
+
     def _ast_export_named_declaration(self, js) -> Ast:
+        line, col = self.line_of(js["start"]), self.col_of(js["start"])
         if js.get("declaration"):
             decl_ast = self.ast_for_node_with_fref_and_call(js["declaration"])
             names = self._export_names_of(js["declaration"])
             if not names:
                 return decl_ast
-            # createExportCallAst + createExportAssignmentCallAst:
-            # `exports.<name> = <name>` per exported declaration
-            line, col = self.line_of(js["start"]), self.col_of(js["start"])
-            exports_asts = []
-            for name in names:
-                base = self.identifier_node(js, "exports")
-                self.scope.add_reference("exports", base)
-                part = self.field_identifier_node(js, name)
-                access = self.field_access_call(Ast(base), part, line, col)
-                rhs = self.identifier_node(js, name)
-                self.scope.add_reference(name, rhs)
-                exports_asts.append(self.assignment_call(
-                    access, Ast(rhs), f"exports.{name} = {name}", line, col))
+            exports_asts = [
+                self._exports_assignment(js, name, self._ident_ast(js, name),
+                                         name, line, col)
+                for name in names
+            ]
             block = self.block_node(js, self.code_of_node(js))
             return Ast(block).with_child(decl_ast).with_children(exports_asts)
-        return Ast()
+        specifiers = js.get("specifiers") or []
+        if not specifiers:
+            return Ast()
+        source = js["source"]["value"] if js.get("source") else None
+        stmts = []
+        base_name = None
+        if source is not None:
+            # export { ... } from "src": var _<base> = require("src") once,
+            # then exports.<exported> = _<base>.<local>, plus a DEPENDENCY
+            # per exported name (version "require")
+            seg = source.rstrip("/").rsplit("/", 1)[-1]
+            base_name = "_" + "".join(ch for ch in seg if ch.isalnum() or ch == "_")
+            stmts.append(self._require_var(js, base_name, source, line, col))
+        for spec in specifiers:
+            local = spec["local"].get("name", self.code_of_node(spec["local"]))
+            exported = spec["exported"].get("name", self.code_of_node(spec["exported"]))
+            if source is not None:
+                fa_base = self._ident_ast(js, base_name)
+                part = self.field_identifier_node(js, local)
+                rhs = self.field_access_call(fa_base, part, line, col)
+                rhs_code = f"{base_name}.{local}"
+                self._create_import_node(
+                    f"{exported} = require(\"{source}\").{local}", source,
+                    exported, None, group_name=exported, group_id=source,
+                    version="require", line=line, col=col)
+            else:
+                rhs = self._ident_ast(js, local)
+                rhs_code = local
+            stmts.append(self._exports_assignment(
+                js, exported, rhs, rhs_code, line, col,
+                default=exported == "default"))
+        if len(stmts) == 1:
+            return stmts[0]
+        return Ast(self.block_node(js, self.code_of_node(js))).with_children(stmts)
+
+    def _require_var(self, js, var_name: str, source: str, line, col) -> Ast:
+        """`var <var_name> = require("<source>")` helper for export-from."""
+        dest = self.identifier_node(js, var_name)
+        local = self.local_node(js, var_name)
+        self.cpg.add_node(local)
+        if self.local_parent_stack:
+            self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")
+        self.scope.add_variable(var_name, local)
+        self.scope.add_reference(var_name, dest)
+        src_lit = self.literal_node(js, f'"{source}"')
+        req = self.call_node(js, f'require("{source}")', "require", DYNAMIC)
+        recv = self.identifier_node(js, "require")
+        this_node = self.identifier_node(js, "this")
+        self.scope.add_reference("this", this_node)
+        c_ast = self.call_ast(req, [Ast(src_lit)], base=Ast(this_node),
+                              receiver=Ast(recv))
+        return self.assignment_call(
+            Ast(dest), c_ast, f'var {var_name} = require("{source}")', line, col)
+
+    def _ast_export_all_declaration(self, js) -> Ast:
+        """export * [as name] from "src": DEPENDENCY(name = alias or last
+        path segment, version "require") + the require var."""
+        line, col = self.line_of(js["start"]), self.col_of(js["start"])
+        source = js["source"]["value"]
+        if js.get("exported"):
+            name = js["exported"]["name"]
+        else:
+            name = source.rstrip("/").rsplit("/", 1)[-1]
+        dep = Node("DEPENDENCY", name=name, dependency_group_id=source,
+                   version="require")
+        self.cpg.add_node(dep)
+        base = "_" + "".join(ch for ch in name if ch.isalnum() or ch == "_")
+        return self._require_var(js, base, source, line, col)
+
+    def _ast_tsexport_assignment(self, js) -> Ast:
+        """`export = expr`: the exported entity keeps its own lowering
+        (functions keep their declaration assignment; classes and plain
+        identifiers don't add one) + `exports.<name> = <name>`."""
+        line, col = self.line_of(js["start"]), self.col_of(js["start"])
+        expr = js["expression"]
+        inner = expr.get("expression") if expr.get("type") == "ExpressionStatement" else None
+        stmts = []
+        fn_types = ("FunctionDeclaration", "FunctionExpression",
+                    "ArrowFunctionExpression")
+        if expr.get("type") in fn_types or (
+                inner and inner.get("type") in fn_types):
+            fn = expr if expr.get("type") in fn_types else inner
+            name, _full = self.method_name_and_fullname(fn)
+            stmts.append(self.ast_for_function(fn, create_reference=True,
+                                               create_assignment=True))
+        elif expr.get("type") in ("ClassDeclaration", "ClassExpression") or (
+                inner and inner.get("type") == "ClassExpression"):
+            cls = expr if expr.get("type") in ("ClassDeclaration",
+                                               "ClassExpression") else inner
+            self._ast_class(cls, create_assignment=False)
+            name = cls["id"]["name"] if cls.get("id") else None
+        elif inner and inner.get("type") == "Identifier":
+            name = inner["name"]
+        else:
+            return self.ast_for_node_with_fref_and_call(expr)
+        if name is None:
+            return Ast()
+        stmts.append(self._exports_assignment(
+            js, name, self._ident_ast(js, name), name, line, col))
+        if len(stmts) == 1:
+            return stmts[0]
+        return Ast(self.block_node(js, self.code_of_node(js))).with_children(stmts)
 
     def _ast_tsimport_equals_declaration(self, js) -> Ast:
         """`import path = require('path')` — lowers like a require
@@ -1970,9 +2088,30 @@ class AstLowerer:
         return self._require_assignment(js, name, None, source, bare=True)
 
     def _ast_export_default_declaration(self, js) -> Ast:
-        if js.get("declaration"):
-            return self.ast_for_node_with_fref_and_call(js["declaration"])
-        return Ast()
+        """export default <decl>: the declaration lowers normally, then
+        exports["default"] = <name>."""
+        line, col = self.line_of(js["start"]), self.col_of(js["start"])
+        decl = js.get("declaration")
+        if not decl:
+            return Ast()
+        decl_ast = self.ast_for_node_with_fref_and_call(decl)
+        name = None
+        names = self._export_names_of(decl)
+        if names:
+            name = names[0]
+        elif decl.get("type") == "ExpressionStatement":
+            inner = decl.get("expression", {})
+            if inner.get("type") == "AssignmentExpression" and \
+                    inner.get("left", {}).get("type") == "Identifier":
+                name = inner["left"]["name"]
+            elif inner.get("type") == "Identifier":
+                name = inner["name"]
+        if name is None:
+            return decl_ast
+        exp = self._exports_assignment(js, name, self._ident_ast(js, name),
+                                       name, line, col, default=True)
+        block = self.block_node(js, self.code_of_node(js))
+        return Ast(block).with_child(decl_ast).with_child(exp)
 
     def _ast_unknown(self, js) -> Ast:
         return Ast(Node("UNKNOWN", code=self.code_of_node(js), **self._pos(js)))

@@ -704,16 +704,60 @@ class Parser:
         if self.opt("default"):
             decl = self.parse_statement()
             return self.node("ExportDefaultDeclaration", t.start, decl["end"], declaration=decl)
-        if self.at("{"):
-            # export { a, b } [from '...'] — skip specifiers, no lowering
-            self.eat("{")
-            while not self.at("}") and self.peek().kind != "eof":
-                self.pos += 1
-            self.eat("}")
-            if self.opt("from"):
-                self.eat(kind="str")
+        if self.at("=") :
+            # TS export-assignment: `export = expr;`
+            self.eat("=")
+            expr = self.parse_statement()
+            return self.node("TSExportAssignment", t.start, expr["end"],
+                             expression=expr)
+        if self.at("*"):
+            # export * [as name] from "source"
+            self.eat("*")
+            exported = None
+            if self.opt("as"):
+                exported = self.parse_identifier()
+            self.eat("from")
+            st = self.eat(kind="str")
+            source = self.node("StringLiteral", st.start, st.end, value=_strip_str(st.value))
             self.semicolon()
-            return self.node("EmptyStatement", t.start, t.end)
+            return self.node("ExportAllDeclaration", t.start, st.end,
+                             exported=exported, source=source)
+        if self.at("{"):
+            # export { a, b as c, ... } [from "source"]
+            self.eat("{")
+            specifiers = []
+            while not self.at("}") and self.peek().kind != "eof":
+                local = self.parse_identifier_name()
+                exported = local
+                if self.opt("as"):
+                    exported = self.parse_identifier_name()
+                specifiers.append(self.node("ExportSpecifier", local["start"],
+                                            exported["end"], local=local,
+                                            exported=exported))
+                if not self.opt(","):
+                    break
+            self.eat("}")
+            source = None
+            if self.opt("from"):
+                st = self.eat(kind="str")
+                source = self.node("StringLiteral", st.start, st.end,
+                                   value=_strip_str(st.value))
+            self.semicolon()
+            return self.node("ExportNamedDeclaration", t.start, t.end,
+                             declaration=None, specifiers=specifiers,
+                             source=source)
+        if self.peek().kind == "id" and self.peek(1).value == "from":
+            # `export bar from "Bar"` (proposal syntax used by the reference)
+            local = self.parse_identifier()
+            self.eat("from")
+            st = self.eat(kind="str")
+            source = self.node("StringLiteral", st.start, st.end,
+                               value=_strip_str(st.value))
+            self.semicolon()
+            spec = self.node("ExportSpecifier", local["start"], local["end"],
+                             local=local, exported=local)
+            return self.node("ExportNamedDeclaration", t.start, st.end,
+                             declaration=None, specifiers=[spec], source=source)
         decl = self.parse_statement()
         return self.node("ExportNamedDeclaration", t.start, decl["end"], declaration=decl)
 

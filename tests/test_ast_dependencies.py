@@ -173,3 +173,149 @@ const b = require("depB");
         ("a", "depA", "import")
     assert (dep_b.name, dep_b.dependency_group_id, dep_b.version) == \
         ("b", "depB", "require")
+
+
+# DependencyAstCreationPassTests.scala:210-312 (import variations)
+def test_import_variations():
+    cpg = build_cpg('''
+import name from "module-name";
+import * as otherName from "module-name";
+import { member1 } from "module-name";
+import { member2 as alias1 } from "module-name";
+import { member3 , member4 } from "module-name";
+import { member5 , member6 as alias2 } from "module-name";
+import defaultMember1, * as alias3 from "module-name";
+import defaultMember2 from "module-name";
+import "module-name";
+''')
+    assert [n.code for n in Q(cpg).local().l()] == [
+        "name", "otherName", "member1", "alias1", "member3", "member4",
+        "member5", "alias2", "defaultMember1", "alias3", "defaultMember2",
+        "module-name"]
+    assigns = [n.code for n in cpg.nodes
+               if n.label == "CALL" and n.name == "<operator>.assignment"]
+    assert assigns == [
+        'var name = require("module-name")',
+        'var otherName = require("module-name")',
+        'var member1 = require("module-name").member1',
+        'var alias1 = require("module-name").member2',
+        'var member3 = require("module-name").member3',
+        'var member4 = require("module-name").member4',
+        'var member5 = require("module-name").member5',
+        'var alias2 = require("module-name").member6',
+        'var defaultMember1 = require("module-name")',
+        'var alias3 = require("module-name")',
+        'var defaultMember2 = require("module-name")',
+        'var module-name = require("module-name")']
+    deps = [(n.name, n.dependency_group_id, n.version) for n in _deps(cpg)]
+    assert deps == [(nm, "module-name", "import") for nm in (
+        "name", "otherName", "member1", "alias1", "member3", "member4",
+        "member5", "alias2", "defaultMember1", "alias3", "defaultMember2",
+        "module-name")]
+
+
+def _assigns(cpg):
+    return [n.code for n in cpg.nodes
+            if n.label == "CALL" and n.name == "<operator>.assignment"]
+
+
+# DependencyAstCreationPassTests.scala:317-355 (export names/aliases)
+def test_export_names_and_aliases():
+    cpg = build_cpg('''
+var name1, name2, name3, name6;
+var variable4, variable5;
+export { name1, name2, name3 };
+export { variable4 as name4, variable5 as name5, name6 };
+export let name7, name8, name9;
+export let name10 = "10", name11 = "11", name12;
+''')
+    assert sorted(n.code for n in Q(cpg).local().l()) == [
+        "name1", "name10", "name11", "name12", "name2", "name3", "name6",
+        "name7", "name8", "name9", "variable4", "variable5"]
+    assert sorted(_assigns(cpg)) == [
+        "exports.name1 = name1", "exports.name10 = name10",
+        "exports.name11 = name11", "exports.name12 = name12",
+        "exports.name2 = name2", "exports.name3 = name3",
+        "exports.name4 = variable4", "exports.name5 = variable5",
+        "exports.name6 = name6", "exports.name7 = name7",
+        "exports.name8 = name8", "exports.name9 = name9",
+        'let name10 = "10"', 'let name11 = "11"']
+
+
+# DependencyAstCreationPassTests.scala:357-380 (export assignments)
+def test_export_assignments():
+    cpg = build_cpg('''
+var foo = 1;
+var bar = 2;
+export = foo;
+export = bar;
+export = function func(param) {};
+export = function () {};
+export = class ClassA {};
+''')
+    assert [n.code for n in Q(cpg).local().l()] == [
+        "foo", "bar", "func", "<lambda>0", "ClassA"]
+    tds = {n.name for n in Q(cpg).type_decl().l()}
+    assert {"func", "ClassA"} <= tds
+    assert _assigns(cpg) == [
+        "var foo = 1", "var bar = 2", "exports.foo = foo",
+        "exports.bar = bar", "function func = function func(param) {}",
+        "exports.func = func", "function <lambda>0 = function () {}",
+        "exports.<lambda>0 = <lambda>0", "exports.ClassA = ClassA"]
+
+
+# DependencyAstCreationPassTests.scala:382-397 (export defaults)
+def test_export_defaults():
+    cpg = build_cpg('''
+var name1;
+export { name1 as default };
+export default name2 = "2";
+export default function foo(param) {};
+''')
+    assert [n.code for n in Q(cpg).local().l()] == ["name1", "foo", "name2"]
+    assert _assigns(cpg) == [
+        'exports["default"] = name1', 'name2 = "2"',
+        'exports["default"] = name2', "function foo = function foo(param) {}",
+        'exports["default"] = foo']
+    assert [m.code for m in Q(cpg).method().name_exact("foo").l()] == \
+        ["function foo(param) {}"]
+
+
+# DependencyAstCreationPassTests.scala:399-409 (export from with path)
+def test_export_from_with_path():
+    cpg = build_cpg('export { def as Header } from "./path/to/header";\n')
+    (dep,) = _deps(cpg)
+    assert (dep.name, dep.dependency_group_id, dep.version) == \
+        ("Header", "./path/to/header", "require")
+    assert _assigns(cpg) == [
+        'var _header = require("./path/to/header")',
+        "exports.Header = _header.def"]
+
+
+# DependencyAstCreationPassTests.scala:411-443 (export from clause)
+def test_export_from_clause():
+    cpg = build_cpg('''
+export { import1 as name1, import2 as name2, name3 } from "Foo";
+export bar from "Bar";
+''')
+    deps = [(n.name, n.dependency_group_id, n.version) for n in _deps(cpg)]
+    assert deps == [("name1", "Foo", "require"), ("name2", "Foo", "require"),
+                    ("name3", "Foo", "require"), ("bar", "Bar", "require")]
+    assert _assigns(cpg) == [
+        'var _Foo = require("Foo")', "exports.name1 = _Foo.import1",
+        "exports.name2 = _Foo.import2", "exports.name3 = _Foo.name3",
+        'var _Bar = require("Bar")', "exports.bar = _Bar.bar"]
+
+
+# DependencyAstCreationPassTests.scala:445-473 (export all with from)
+def test_export_all_from():
+    cpg = build_cpg('''
+export * from "Foo";
+export * as B from "Bar";
+export * from "./some/ModuleA";
+export * from './some/ModuleB';
+''')
+    deps = [(n.name, n.dependency_group_id, n.version) for n in _deps(cpg)]
+    assert deps == [("Foo", "Foo", "require"), ("B", "Bar", "require"),
+                    ("ModuleA", "./some/ModuleA", "require"),
+                    ("ModuleB", "./some/ModuleB", "require")]
