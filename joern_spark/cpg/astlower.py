@@ -2113,6 +2113,52 @@ class AstLowerer:
         block = self.block_node(js, self.code_of_node(js))
         return Ast(block).with_child(decl_ast).with_child(exp)
 
+    # JSX / template DOM (AstForTemplateDomCreator.scala:10-90) --------------
+    def _template_dom(self, typ: str, js, code: str | None = None) -> Node:
+        return Node("TEMPLATE_DOM", name=typ,
+                    code=code if code is not None else self.code_of_node(js),
+                    **self._pos(js))
+
+    def _ast_jsxelement(self, js) -> Ast:
+        dom = self._template_dom("JSXElement", js)
+        children = [self.ast_for_node_with_fref(js["openingElement"])]
+        children += [self.ast_for_node_with_fref(c) for c in js.get("children", [])]
+        if js.get("closingElement"):
+            children.append(self.ast_for_node_with_fref(js["closingElement"]))
+        return Ast(dom).with_children(children)
+
+    def _ast_jsxfragment(self, js) -> Ast:
+        dom = self._template_dom("JSXFragment", js)
+        return Ast(dom).with_children(
+            [self.ast_for_node_with_fref(c) for c in js.get("children", [])])
+
+    def _ast_jsxopening_element(self, js) -> Ast:
+        dom = self._template_dom("JSXOpeningElement", js)
+        return Ast(dom).with_children(
+            [self.ast_for_node_with_fref(a) for a in js.get("attributes", [])])
+
+    def _ast_jsxclosing_element(self, js) -> Ast:
+        return Ast(self._template_dom("JSXClosingElement", js))
+
+    def _ast_jsxattribute(self, js) -> Ast:
+        dom = self._template_dom("JSXAttribute", js)
+        if js.get("value") is not None:
+            return Ast(dom).with_child(self.ast_for_node_with_fref(js["value"]))
+        return Ast(dom)
+
+    def _ast_jsxspread_attribute(self, js) -> Ast:
+        dom = self._template_dom("JSXSpreadAttribute", js)
+        return Ast(dom).with_child(self.ast_for_node_with_fref(js["argument"]))
+
+    def _ast_jsxexpression_container(self, js) -> Ast:
+        dom = self._template_dom("JSXExpressionContainer", js)
+        if js.get("expression") is not None:
+            return Ast(dom).with_child(self.ast_for_node_with_fref(js["expression"]))
+        return Ast(dom)
+
+    def _ast_jsxtext(self, js) -> Ast:
+        return Ast(self._template_dom("JSXText", js))
+
     def _ast_unknown(self, js) -> Ast:
         return Ast(Node("UNKNOWN", code=self.code_of_node(js), **self._pos(js)))
 

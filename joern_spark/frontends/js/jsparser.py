@@ -1069,18 +1069,14 @@ class Parser:
         if t.value == "{":
             return self.parse_object_expression()
         if t.value == "<":
-            # JSX — not supported; consume until matching `>` and emit Unknown
-            depth = 0
-            start = t.start
-            while self.peek().kind != "eof":
-                v = self.eat().value
-                if v == "<":
-                    depth += 1
-                elif v == ">":
-                    depth -= 1
-                    if depth <= 0:
-                        break
-            return self.node("Unknown", start, self.peek().start)
+            # JSX element/fragment: parsed at CHARACTER level from the
+            # source (JSX text content does not tokenize as JS), embedded
+            # {expr} containers are sub-parsed as real expressions
+            node, end = _parse_jsx(self.src, t.start)
+            # re-sync the token cursor past the element
+            while self.pos < len(self.toks) and self.toks[self.pos].start < end:
+                self.pos += 1
+            return node
         raise ParseError(f"unexpected token {t.value!r} at {t.start}")
 
     def parse_object_expression(self):
@@ -1254,3 +1250,195 @@ def _shift_offsets(node, delta):
 def parse(src: str) -> dict:
     """Parse ES-subset source → Babel-shaped Program dict."""
     return Parser(src).parse_program()
+
+
+# --- JSX (character-level) ----------------------------------------------
+
+def _offset_tree(node, delta):
+    """Shift start/end offsets of a sub-parsed AST by delta (used when an
+    embedded JSX expression is parsed from a source slice)."""
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if k in ("start", "end") and isinstance(v, int):
+                node[k] = v + delta
+            else:
+                _offset_tree(v, delta)
+    elif isinstance(node, list):
+        for item in node:
+            _offset_tree(item, delta)
+
+
+def _jsx_sub_expression(src, start, end):
+    """Parse src[start:end] as an expression; offsets become absolute."""
+    sub = Parser(src[start:end]).parse_expression()
+    _offset_tree(sub, start)
+    return sub
+
+
+def _jsx_skip_ws(src, i):
+    while i < len(src) and src[i] in " \t\r\n":
+        i += 1
+    return i
+
+
+def _jsx_name(src, i):
+    j = i
+    while j < len(src) and (src[j].isalnum() or src[j] in "_$.-:"):
+        j += 1
+    return src[i:j], j
+
+
+def _jsx_balanced_brace(src, i):
+    """i points at '{'; returns index AFTER the matching '}' (string/template
+    aware)."""
+    depth = 0
+    n = len(src)
+    while i < n:
+        c = src[i]
+        if c in "'\"":
+            q = c
+            i += 1
+            while i < n and src[i] != q:
+                i += 2 if src[i] == "\\" else 1
+            i += 1
+            continue
+        if c == "`":
+            i += 1
+            while i < n and src[i] != "`":
+                i += 2 if src[i] == "\\" else 1
+            i += 1
+            continue
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ParseError(f"unterminated JSX expression at {i}")
+
+
+def _mk(src, typ, start, end, **kw):
+    node = {"type": typ, "start": start, "end": end}
+    node.update(kw)
+    return node
+
+
+def _parse_jsx(src, i):
+    """Parse a JSX element/fragment starting at src[i] == '<'.
+    Returns (node, end_offset)."""
+    start = i
+    assert src[i] == "<"
+    i = _jsx_skip_ws(src, i + 1)
+    name, i = _jsx_name(src, i)
+    if name == "":
+        # fragment <> ... </>
+        i = _jsx_skip_ws(src, i)
+        if src[i] != ">":
+            raise ParseError(f"bad JSX fragment at {i}")
+        children, i = _parse_jsx_children(src, i + 1)
+        # consume closing </>
+        i = _jsx_skip_ws(src, i + 2)
+        if src[i] != ">":
+            raise ParseError(f"bad JSX fragment close at {i}")
+        return _mk(src, "JSXFragment", start, i + 1, children=children), i + 1
+
+    attributes = []
+    while True:
+        i = _jsx_skip_ws(src, i)
+        if i >= len(src):
+            raise ParseError("unterminated JSX element")
+        if src.startswith("/>", i):
+            opening = _mk(src, "JSXOpeningElement", start, i + 2,
+                          name=name, attributes=attributes, selfClosing=True)
+            elem = _mk(src, "JSXElement", start, i + 2,
+                       openingElement=opening, closingElement=None, children=[])
+            return elem, i + 2
+        if src[i] == ">":
+            i += 1
+            break
+        if src[i] == "{":
+            # spread attribute {...expr}
+            j = _jsx_balanced_brace(src, i)
+            expr = _jsx_sub_expression(src, i + 1, j - 1)
+            attributes.append(_mk(src, "JSXSpreadAttribute", i, j, argument=expr))
+            i = j
+            continue
+        a_start = i
+        a_name, i = _jsx_name(src, i)
+        if not a_name:
+            raise ParseError(f"bad JSX attribute at {i}")
+        i = _jsx_skip_ws(src, i)
+        value = None
+        if i < len(src) and src[i] == "=":
+            i = _jsx_skip_ws(src, i + 1)
+            if src[i] in "'\"":
+                q = src[i]
+                j = src.index(q, i + 1)
+                value = _mk(src, "StringLiteral", i, j + 1, value=src[i + 1:j])
+                i = j + 1
+            elif src[i] == "{":
+                j = _jsx_balanced_brace(src, i)
+                inner = _jsx_sub_expression(src, i + 1, j - 1)
+                value = _mk(src, "JSXExpressionContainer", i, j, expression=inner)
+                i = j
+            elif src[i] == "<":
+                value, i = _parse_jsx(src, i)
+        attributes.append(_mk(src, "JSXAttribute", a_start, i,
+                              name=a_name, value=value))
+
+    opening_end = i
+    opening = _mk(src, "JSXOpeningElement", start, opening_end,
+                  name=name, attributes=attributes, selfClosing=False)
+    children, i = _parse_jsx_children(src, i)
+    # closing </name >
+    close_start = i
+    i = _jsx_skip_ws(src, i + 2)
+    _cname, i = _jsx_name(src, i)
+    i = _jsx_skip_ws(src, i)
+    if i >= len(src) or src[i] != ">":
+        raise ParseError(f"bad JSX closing tag at {i}")
+    closing = _mk(src, "JSXClosingElement", close_start, i + 1, name=_cname)
+    elem = _mk(src, "JSXElement", start, i + 1, openingElement=opening,
+               closingElement=closing, children=children)
+    return elem, i + 1
+
+
+def _parse_jsx_children(src, i):
+    """Children until (but not consuming) a '</'. Returns (children, i)."""
+    children = []
+    n = len(src)
+    text_start = i
+    while i < n:
+        if src.startswith("</", i):
+            if i > text_start and src[text_start:i].strip():
+                children.append(_mk(src, "JSXText", text_start, i,
+                                    value=src[text_start:i]))
+            return children, i
+        if src[i] == "<":
+            if i > text_start and src[text_start:i].strip():
+                children.append(_mk(src, "JSXText", text_start, i,
+                                    value=src[text_start:i]))
+            child, i = _parse_jsx(src, i)
+            children.append(child)
+            text_start = i
+            continue
+        if src[i] == "{":
+            if i > text_start and src[text_start:i].strip():
+                children.append(_mk(src, "JSXText", text_start, i,
+                                    value=src[text_start:i]))
+            j = _jsx_balanced_brace(src, i)
+            inner_src = src[i + 1:j - 1]
+            if inner_src.strip().startswith("/*") or not inner_src.strip():
+                # comment / empty container — emit empty expression
+                children.append(_mk(src, "JSXExpressionContainer", i, j,
+                                    expression=None))
+            else:
+                expr = _jsx_sub_expression(src, i + 1, j - 1)
+                children.append(_mk(src, "JSXExpressionContainer", i, j,
+                                    expression=expr))
+            i = j
+            text_start = i
+            continue
+        i += 1
+    raise ParseError("unterminated JSX children")
