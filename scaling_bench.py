@@ -18,7 +18,9 @@ import sys
 import time
 
 N_DOCS_DEFAULT = 65536
-N_PARTITIONS = 128  # fixed across runs: identical input AND partitioning
+N_PARTITIONS = 256  # fixed across runs: identical input AND partitioning
+# (2 tasks/core at N=32: finer waves cut last-wave straggling, the main
+# source of ratio noise between the N and 4N measurements)
 
 
 def run_one(cores: int, n_docs: int) -> dict:
