@@ -535,6 +535,20 @@ class AstLowerer:
         self.scope.pop()
         return Ast(block).with_children(children)
 
+    def _ast_tstype_assertion(self, js) -> Ast:
+        """TS `<T>expr`: pass-through to the asserted expression."""
+        return self.ast_for_node_with_fref(js["expression"])
+
+    def _ast_tsmodule_declaration(self, js) -> Ast:
+        """TS `module M { ... }` / `namespace M { ... }`: body lowers as a
+        block (export statements inside keep their exports.<n> lowering)."""
+        return self.ast_for_node_with_fref(js["body"])
+
+    def _ast_tsas_expression(self, js) -> Ast:
+        """TS `expr as Type`: pass-through to the inner expression (the
+        declarator/statement span keeps the cast text)."""
+        return self.ast_for_node_with_fref(js["expression"])
+
     def _ast_tsnon_null_expression(self, js) -> Ast:
         """astForTSNonNullExpression: `expr!` → <operator>.notNullAssert."""
         arg = self.ast_for_node_with_fref(js["expression"])
@@ -1137,9 +1151,11 @@ class AstLowerer:
                         Ast(lp), access, f"{ename} = {_code_of(access.root)}", line, col))
             else:  # Identifier
                 pname = p.get("name", self.code_of_node(p))
+                ts = {"string": "__ecma.String", "number": "__ecma.Number",
+                      "boolean": "__ecma.Boolean"}.get(p.get("ts_type"), ANY)
                 node = Node("METHOD_PARAMETER_IN", name=pname, code=self.code_of_node(p),
                             index=index, order=index, evaluation_strategy="BY_VALUE",
-                            type_full_name=ANY, **self._pos(p))
+                            type_full_name=ts, **self._pos(p))
                 self.scope.add_variable(pname, node)
             params.append(node)
         return params
@@ -1928,8 +1944,21 @@ class AstLowerer:
     def _export_names_of(self, decl) -> list[str]:
         t = decl.get("type")
         if t == "VariableDeclaration":
-            return [d["id"]["name"] for d in decl.get("declarations", [])
-                    if d.get("id", {}).get("type") == "Identifier"]
+            out = []
+            for d in decl.get("declarations", []):
+                idj = d.get("id", {})
+                if idj.get("type") == "Identifier":
+                    out.append(idj["name"])
+                elif idj.get("type") == "ObjectPattern":
+                    for p in idj.get("properties", []):
+                        v = p.get("value") or p.get("argument") or {}
+                        if v.get("type") == "Identifier":
+                            out.append(v["name"])
+                elif idj.get("type") == "ArrayPattern":
+                    for el in idj.get("elements", []):
+                        if el and el.get("type") == "Identifier":
+                            out.append(el["name"])
+            return out
         if t in ("FunctionDeclaration", "ClassDeclaration") and decl.get("id"):
             return [decl["id"]["name"]]
         return []

@@ -345,6 +345,22 @@ class Parser:
                                  object=obj, body=body)
             if v in ("import", "export"):
                 return self.parse_module_decl()
+        if k == "id" and t.value == "declare" and self.peek(1).kind == "kw":
+            # TS ambient declaration: `declare function/var/... X` — the
+            # declaration parses normally, the span includes `declare`
+            self.eat()
+            if self.peek().value == "function":
+                return self.parse_function(is_declaration=True, start=t.start)
+            return self.parse_statement()
+        if (k == "id" and t.value in ("module", "namespace")
+                and self.peek(1).kind in ("id", "str")
+                and self.peek(2).value == "{"):
+            # TS module/namespace declaration: `module M { ... }`
+            self.eat()
+            name_tok = self.eat()
+            body = self.parse_block()
+            return self.node("TSModuleDeclaration", t.start, body["end"],
+                             name=name_tok.value, body=body)
         if k == "id" and self.peek(1).value == ":" and self.peek(1).kind == "punct":
             label = self.parse_identifier()
             self.eat(":")
@@ -371,6 +387,7 @@ class Parser:
         decls = []
         while True:
             decl_id = self.parse_binding_target()
+            self._opt_type_annotation()
             init = None
             if self.opt("="):
                 init = self.parse_assignment()
@@ -468,17 +485,58 @@ class Parser:
         tok = self.eat()
         return self.node("Identifier", tok.start, tok.end, name=tok.value)
 
-    def parse_function(self, is_declaration: bool):
+    def parse_function(self, is_declaration: bool, start: int | None = None):
         kw = self.eat("function")
         self.opt("*")
         fid = None
         if self.peek().kind == "id":
             fid = self.parse_identifier()
         params = self.parse_params()
-        body = self.parse_block()
+        if self.at("{"):
+            body = self.parse_block()
+            end = body["end"]
+        else:
+            # TS `declare function f(...): T` has no body
+            end = self.toks[self.pos - 1].end
+            body = {"type": "BlockStatement", "body": [], "start": end, "end": end}
+            self.semicolon()
         typ = "FunctionDeclaration" if is_declaration and fid else "FunctionExpression"
-        return self.node(typ, kw.start, body["end"], id=fid, params=params, body=body,
+        return self.node(typ, start if start is not None else kw.start, end,
+                         id=fid, params=params, body=body,
                          generator=False, **{"async": False})
+
+    def _skip_type_annotation(self):
+        """Skip a TS type annotation (token soup with bracket depth); stops
+        at a depth-0 `,` `)` `]` `}` `;` `=` `=>` or `{`.  Coverage targets
+        simple annotation shapes (unions, generics, qualified names)."""
+        depth = 0
+        while True:
+            t = self.peek()
+            if t.kind == "eof":
+                return
+            v = t.value
+            if depth == 0 and t.kind == "punct" and v in (",", ")", "]", "}",
+                                                          ";", "=", "=>", "{"):
+                return
+            if v in ("(", "[") or (t.kind == "punct" and v == "<"):
+                depth += 1
+            elif v in (")", "]") or (t.kind == "punct" and v == ">"):
+                depth -= 1
+                if depth < 0:
+                    return
+            self.eat()
+
+    def _opt_type_annotation(self):
+        """Consume `?` optional markers and `: Type` annotations if present;
+        returns the annotation source text (or None)."""
+        if self.at("?") and self.peek(1).value == ":":
+            self.eat("?")
+        if self.at(":"):
+            self.eat(":")
+            t0 = self.peek().start
+            self._skip_type_annotation()
+            return self.src[t0:self.toks[self.pos - 1].end].strip()
+        return None
 
     def parse_params(self):
         self.eat("(")
@@ -488,9 +546,15 @@ class Parser:
             if pt.value == "...":
                 self.eat("...")
                 arg = self.parse_binding_target()
+                self._opt_type_annotation()
                 params.append(self.node("RestElement", pt.start, arg["end"], argument=arg))
             else:
                 p = self.parse_binding_target()
+                ts_type = self._opt_type_annotation()
+                if ts_type is not None:
+                    p = dict(p)
+                    p["ts_type"] = ts_type
+                    p["end"] = self.toks[self.pos - 1].end
                 if self.opt("="):
                     dflt = self.parse_assignment()
                     p = self.node("AssignmentPattern", p["start"], dflt["end"], left=p, right=dflt)
@@ -498,6 +562,8 @@ class Parser:
             if not self.opt(","):
                 break
         self.eat(")")
+        # TS return-type annotation `): T` (before `=>` or `{`)
+        self._opt_type_annotation()
         return params
 
     def parse_class(self, is_declaration: bool):
@@ -793,7 +859,22 @@ class Parser:
                     if depth == 0:
                         break
                 j += 1
-            if j + 1 < len(self.toks) and self.toks[j + 1].value == "=>":
+            # `) =>` directly, or `) : Type =>` (TS return annotation): scan
+            # past a possible annotation (no nesting resets at depth 0)
+            k = j + 1
+            if k < len(self.toks) and self.toks[k].value == ":":
+                d2 = 0
+                k += 1
+                while k < len(self.toks):
+                    v2 = self.toks[k].value
+                    if d2 == 0 and v2 in ("=>", ";", ")", ",", "=", "{"):
+                        break
+                    if v2 in ("(", "[", "<"):
+                        d2 += 1
+                    elif v2 in (")", "]", ">"):
+                        d2 -= 1
+                    k += 1
+            if k < len(self.toks) and self.toks[k].value == "=>":
                 params = self.parse_params()
                 self.eat("=>")
                 return self._finish_arrow(t.start, params)
@@ -860,6 +941,16 @@ class Parser:
 
     def parse_binary(self, min_prec, no_in=False):
         left = self.parse_unary()
+        # TS `expr as Type` / `expr satisfies Type` (pass-through nodes; the
+        # CPG lowers the inner expression, the span keeps the cast text)
+        while ((self.peek().kind == "kw" and self.peek().value == "as")
+               or (self.peek().kind == "id" and self.peek().value == "satisfies")
+               ) and not self.peek().nl_before:
+            self.eat()
+            self._skip_type_annotation()
+            end = self.toks[self.pos - 1].end
+            left = self.node("TSAsExpression", left["start"], end,
+                             expression=left)
         while True:
             t = self.peek()
             op = t.value
@@ -1072,7 +1163,22 @@ class Parser:
             # JSX element/fragment: parsed at CHARACTER level from the
             # source (JSX text content does not tokenize as JS), embedded
             # {expr} containers are sub-parsed as real expressions
-            node, end = _parse_jsx(self.src, t.start)
+            try:
+                node, end = _parse_jsx(self.src, t.start)
+            except ParseError:
+                # TS type assertion `<T>expr`: skip the balanced <...>,
+                # parse the asserted expression (pass-through)
+                self.eat("<")
+                depth = 1
+                while depth > 0 and self.peek().kind != "eof":
+                    v = self.eat().value
+                    if v == "<":
+                        depth += 1
+                    elif v == ">":
+                        depth -= 1
+                expr = self.parse_unary()
+                return self.node("TSTypeAssertion", t.start, expr["end"],
+                                 expression=expr)
             # re-sync the token cursor past the element
             while self.pos < len(self.toks) and self.toks[self.pos].start < end:
                 self.pos += 1
