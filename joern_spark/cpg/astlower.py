@@ -539,6 +539,57 @@ class AstLowerer:
         """TS `<T>expr`: pass-through to the asserted expression."""
         return self.ast_for_node_with_fref(js["expression"])
 
+    def _ast_tsenum_declaration(self, js) -> Ast:
+        """TS enum: TYPE_DECL(code "enum X") + one MEMBER per entry (source
+        span codes) + a <clinit> static initializer holding the entry
+        assignments (astsForEnumMember semantics)."""
+        name = js["id"]["name"]
+        full_name = f"{self.filename}:{':'.join(self.scope_name_stack)}:{name}"
+        td = Node("TYPE_DECL", name=name, full_name=full_name,
+                  code=f"enum {name}", filename=self.filename, **self._pos(js))
+        td_ast = Ast(td)
+        self.method_parent_stack.append(td)
+        self.scope_name_stack.append(name)
+        inits = []
+        for m in js["members"]:
+            key_name = m["id"].get("name", self.code_of_node(m["id"]))
+            mem = Node("MEMBER", name=_strip_quotes(key_name),
+                       code=self.code_of_node(m), **self._pos(m))
+            td_ast.with_child(Ast(mem))
+            if m.get("initializer") is not None:
+                inits.append(m)
+        if inits:
+            fake = {
+                "type": "FunctionExpression",
+                "id": {"name": "<clinit>", "start": js["start"],
+                       "end": js["start"], "type": "Identifier"},
+                "params": [],
+                "body": {"type": "BlockStatement", "body": [],
+                         "start": js["start"], "end": js["start"]},
+                "start": js["start"], "end": js["start"],
+            }
+
+            def clinit_body():
+                out = []
+                for m in inits:
+                    key_name = m["id"].get("name", self.code_of_node(m["id"]))
+                    lhs = self.identifier_node(m, _strip_quotes(key_name))
+                    self.scope.add_reference(lhs.name, lhs)
+                    rhs = self.ast_for_node_with_fref(m["initializer"])
+                    out.append(self.assignment_call(
+                        Ast(lhs), rhs, self.code_of_node(m),
+                        self.line_of(m["start"]), self.col_of(m["start"])))
+                return out
+
+            self.ast_for_function(fake, code_override="<clinit>",
+                                  prelude_builder=clinit_body,
+                                  modifiers=("STATIC", "CONSTRUCTOR"))
+        self.scope_name_stack.pop()
+        self.method_parent_stack.pop()
+        td_ast.store(self.cpg)
+        self.cpg.add_edge(self.method_parent_stack[-1], td, "AST")
+        return Ast()
+
     def _ast_tsmodule_declaration(self, js) -> Ast:
         """TS `module M { ... }` / `namespace M { ... }`: body lowers as a
         block (export statements inside keep their exports.<n> lowering)."""
@@ -960,7 +1011,10 @@ class AstLowerer:
         return n
 
     def method_name_and_fullname(self, js) -> tuple[str, str]:
-        key = f"{js['start']}:{js['end']}"
+        # synthetic methods (fake constructor / <clinit>) share zero-width
+        # spans — include the intended name so they don't collide in the
+        # memo table
+        key = f"{js['start']}:{js['end']}:{js.get('id', {}).get('name', '') if js.get('id') else ''}"
         if key in self.function_key_to_name:
             return self.function_key_to_name[key]
         if js.get("id"):
@@ -989,7 +1043,8 @@ class AstLowerer:
     def ast_for_function(self, js, create_reference: bool = False,
                          create_assignment: bool = False,
                          code_override: str | None = None,
-                         prelude_builder=None) -> Ast:
+                         prelude_builder=None,
+                         modifiers: tuple = ("VIRTUAL",)) -> Ast:
         """createMethodAstAndNode (AstForFunctionsCreator.scala:396-498).
         prelude_builder() (run inside the method scope) supplies statements
         prepended to the body — constructorContent field initializers."""
@@ -1054,12 +1109,12 @@ class AstLowerer:
         self.method_parent_stack.pop()
 
         ret_node = Node("METHOD_RETURN", code="RET", type_full_name=ANY, **self._pos(js))
-        modifier = Node("MODIFIER", modifier_type="VIRTUAL", code="<empty>")
         m_ast = Ast(method)
         for p in [this_param] + params:
             m_ast.with_child(Ast(p))
         m_ast.with_child(Ast(block).with_children(children))
-        m_ast.with_child(Ast(modifier))
+        for mt in modifiers:
+            m_ast.with_child(Ast(Node("MODIFIER", modifier_type=mt, code="<empty>")))
         m_ast.with_child(Ast(ret_node))
         m_ast.store(self.cpg)
         # TYPE_DECL + BINDING for the function type
@@ -1679,21 +1734,42 @@ class AstLowerer:
         if js.get("superClass") and js["superClass"].get("type") == "Identifier":
             self._pending_inherits.append((name, js["superClass"]["name"]))
         full_name = f"{self.filename}:{':'.join(self.scope_name_stack)}:{name}"
-        td = Node("TYPE_DECL", name=name, full_name=full_name, code=self.code_of_node(js),
+        # TYPE_DECL code is the short form ("class X"), not the whole span
+        td = Node("TYPE_DECL", name=name, full_name=full_name, code=f"class {name}",
                   filename=self.filename, **self._pos(js))
         td_ast = Ast(td)
+        if js.get("abstract"):
+            td_ast.with_child(Ast(Node("MODIFIER", modifier_type="ABSTRACT",
+                                       code="<empty>")))
         self.method_parent_stack.append(td)
         self.scope_name_stack.append(name)
         ctor_member = None
         prop_inits = []    # non-static ClassProperty members with a value
         static_stmts = []  # ("prop", member) | ("block", stmt) for <clinit>
 
+        TS_TYPES = {"string": "__ecma.String", "number": "__ecma.Number",
+                    "boolean": "__ecma.Boolean"}
+
         def add_member(key_name, member, static=False):
             mem = Node("MEMBER", name=_strip_quotes(key_name),
-                       code=self.code_of_node(member), **self._pos(member))
+                       code=self.code_of_node(member),
+                       type_full_name=TS_TYPES.get(member.get("ts_type"), ANY)
+                       if isinstance(member, dict) else ANY,
+                       **self._pos(member))
             td_ast.with_child(Ast(mem))
+            mods = []
             if static:
-                mod = Node("MODIFIER", modifier_type="STATIC", code="<empty>")
+                mods.append("STATIC")
+            # reversed source order matches the reference's modifier lists
+            # ([public, readonly] -> READONLY, PUBLIC)
+            for m in reversed(member.get("ts_modifiers", []) or []):
+                if m in ("public", "private", "protected", "readonly",
+                         "abstract"):
+                    mods.append(m.upper())
+            if member.get("private_name"):
+                mods.append("PRIVATE")
+            for mt in mods:
+                mod = Node("MODIFIER", modifier_type=mt, code="<empty>")
                 self.cpg.add_node(mod)
                 self.cpg.add_edge(mem, mod, "AST")
             return mem
@@ -1714,6 +1790,10 @@ class AstLowerer:
                 self.ast_for_function(m_js)
                 if member.get("static"):
                     self._add_method_modifier(f"{full_name}:{key_name}", "STATIC")
+                for m in reversed(member.get("ts_modifiers", []) or []):
+                    if m in ("public", "private", "protected", "abstract"):
+                        self._add_method_modifier(f"{full_name}:{key_name}",
+                                                  m.upper())
                 add_member(key_name, member, static=member.get("static", False))
             elif mtype == "ClassProperty":
                 key_name = member["key"].get("name", self.code_of_node(member["key"]))
@@ -1744,12 +1824,37 @@ class AstLowerer:
         # constructor (explicit or createFakeConstructor), with non-static
         # field initializers prepended into its body
         if ctor_member is not None:
+            # TS parameter properties (`constructor(public readonly x: T)`):
+            # each becomes a MEMBER (+modifiers, typed) and a `this.x = x`
+            # assignment in the constructor body
+            param_props = [p for p in ctor_member.get("params", [])
+                           if isinstance(p, dict) and p.get("ts_modifiers")]
+            for p in param_props:
+                add_member(p.get("name", self.code_of_node(p)), p)
+
+            def ctor_prelude():
+                out = prop_init_asts(prop_inits)
+                for p in param_props:
+                    pname = p.get("name", self.code_of_node(p))
+                    line_p = self.line_of(p["start"])
+                    col_p = self.col_of(p["start"])
+                    this_n = self.identifier_node(p, "this")
+                    self.scope.add_reference("this", this_n)
+                    part = self.field_identifier_node(p, pname)
+                    access = self.field_access_call(Ast(this_n), part,
+                                                    line_p, col_p)
+                    rhs = self.identifier_node(p, pname)
+                    self.scope.add_reference(pname, rhs)
+                    out.append(self.assignment_call(
+                        access, Ast(rhs), f"this.{pname} = {pname}",
+                        line_p, col_p))
+                return out
+
             m_js = dict(ctor_member)
             m_js["type"] = "FunctionExpression"
             m_js["id"] = {"name": "<init>", "start": ctor_member["key"]["start"],
                           "end": ctor_member["key"]["end"], "type": "Identifier"}
-            self.ast_for_function(
-                m_js, prelude_builder=lambda: prop_init_asts(prop_inits))
+            self.ast_for_function(m_js, prelude_builder=ctor_prelude)
             # dynamically declared members: direct `this.X = ...` statements
             # in the constructor body (isInitializedMember; chained accesses
             # like this.f.g are NOT members)
@@ -1809,7 +1914,8 @@ class AstLowerer:
                 return out
 
             self.ast_for_function(fake, code_override="<clinit>",
-                                  prelude_builder=clinit_body)
+                                  prelude_builder=clinit_body,
+                                  modifiers=("STATIC", "CONSTRUCTOR"))
 
         self.scope_name_stack.pop()
         self.method_parent_stack.pop()

@@ -345,6 +345,33 @@ class Parser:
                                  object=obj, body=body)
             if v in ("import", "export"):
                 return self.parse_module_decl()
+        if (k == "id" and t.value == "enum" and self.peek(1).kind == "id"
+                and self.peek(2).value == "{"):
+            self.eat()
+            eid = self.parse_identifier()
+            self.eat("{")
+            members = []
+            while not self.at("}") and self.peek().kind != "eof":
+                key = self.parse_property_key()
+                value = None
+                end = key["end"]
+                if self.opt("="):
+                    value = self.parse_assignment()
+                    end = value["end"]
+                members.append(self.node("TSEnumMember", key["start"], end,
+                                         id=key, initializer=value))
+                if not self.opt(","):
+                    break
+            rb = self.eat("}")
+            return self.node("TSEnumDeclaration", t.start, rb.end, id=eid,
+                             members=members)
+        if k == "id" and t.value == "abstract" and self.peek(1).value == "class":
+            self.eat()
+            cls = self.parse_class(is_declaration=True)
+            cls = dict(cls)
+            cls["abstract"] = True
+            cls["start"] = t.start
+            return cls
         if k == "id" and t.value == "declare" and self.peek(1).kind == "kw":
             # TS ambient declaration: `declare function/var/... X` — the
             # declaration parses normally, the span includes `declare`
@@ -549,8 +576,18 @@ class Parser:
                 self._opt_type_annotation()
                 params.append(self.node("RestElement", pt.start, arg["end"], argument=arg))
             else:
+                p_mods = []
+                while (self.peek().kind == "id"
+                       and self.peek().value in ("public", "private",
+                                                 "protected", "readonly",
+                                                 "override")
+                       and self.peek(1).kind == "id"):
+                    p_mods.append(self.eat().value)
                 p = self.parse_binding_target()
                 ts_type = self._opt_type_annotation()
+                if p_mods:
+                    p = dict(p)
+                    p["ts_modifiers"] = p_mods
                 if ts_type is not None:
                     p = dict(p)
                     p["ts_type"] = ts_type
@@ -578,7 +615,16 @@ class Parser:
             if self.opt(";"):
                 continue
             mstart = self.peek().start
+            is_private_name = self.src[mstart:mstart + 1] == "#" or (
+                mstart > 0 and self.src[mstart - 1] == "#")
             static = False
+            ts_mods = []  # TS member modifiers in source order
+            while (self.peek().kind == "id"
+                   and self.peek().value in ("public", "private", "protected",
+                                             "readonly", "abstract", "declare",
+                                             "override")
+                   and self.peek(1).value not in ("(", "=", ";", "}", ":", "?")):
+                ts_mods.append(self.eat().value)
             if self.at("static") and self.peek(1).value not in ("(", "="):
                 self.eat("static")
                 static = True
@@ -587,28 +633,56 @@ class Parser:
                     members.append(self.node("StaticBlock", mstart, body["end"],
                                              body=body["body"]))
                     continue
+            while (self.peek().kind == "id"
+                   and self.peek().value in ("public", "private", "protected",
+                                             "readonly", "abstract", "declare",
+                                             "override")
+                   and self.peek(1).value not in ("(", "=", ";", "}", ":", "?")):
+                ts_mods.append(self.eat().value)
             kind = "method"
             if self.peek().value in ("get", "set") and self.peek(1).value not in ("(", "=", ";", "}"):
                 kind = self.eat().value
+            if not is_private_name and self.peek().start > mstart and \
+                    self.src[self.peek().start - 1] == "#":
+                is_private_name = True
             key = self.parse_property_key()
             if self.at("("):
                 params = self.parse_params()
-                body = self.parse_block()
+                if self.at("{"):
+                    body = self.parse_block()
+                    end = body["end"]
+                else:
+                    # abstract / declared method signature (no body); span
+                    # includes the trailing `;`
+                    end = self.toks[self.pos - 1].end
+                    semi = self.peek()
+                    self.semicolon()
+                    if semi.kind == "punct" and semi.value == ";":
+                        end = semi.end
+                    body = {"type": "BlockStatement", "body": [],
+                            "start": end, "end": end}
                 if key.get("name") == "constructor":
                     kind = "constructor"
                 members.append(
-                    self.node("ClassMethod", mstart, body["end"], key=key, params=params,
-                              body=body, kind=kind, static=static, computed=False)
+                    self.node("ClassMethod", mstart, end, key=key, params=params,
+                              body=body, kind=kind, static=static, computed=False,
+                              ts_modifiers=ts_mods, private_name=is_private_name)
                 )
             else:
+                prop_type = self._opt_type_annotation()
                 value = None
                 if self.opt("="):
                     value = self.parse_assignment()
-                end = value["end"] if value else key["end"]
+                end = self.toks[self.pos - 1].end
+                semi = self.peek()
                 self.semicolon()
+                if semi.kind == "punct" and semi.value == ";":
+                    end = semi.end  # Babel ClassProperty span includes `;`
                 members.append(
                     self.node("ClassProperty", mstart, end, key=key, value=value,
-                              static=static, computed=False)
+                              static=static, computed=False,
+                              ts_modifiers=ts_mods, private_name=is_private_name,
+                              ts_type=prop_type)
                 )
         rb = self.eat("}")
         body = self.node("ClassBody", lb.start, rb.end, body=members)

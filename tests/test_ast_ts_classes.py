@@ -1,0 +1,233 @@
+"""AST golden batch 18: TsClassesAstCreationPassTests.scala subset —
+parameter properties, enums, abstract classes, member modifiers, declared
+classes.  (Interfaces + decorators remain TypeScript-frontend scope.)"""
+
+from __future__ import annotations
+
+from joern_spark.cpg.build import build_cpg
+from joern_spark.query.cpgql import Q
+
+FN = "script.js"  # reference fixture: Test0.ts
+
+
+def _only(xs):
+    xs = list(xs)
+    assert len(xs) == 1, [repr(n) for n in xs]
+    return xs[0]
+
+
+def _at(cpg, node):
+    return Q(cpg).all().filter(lambda n: n is node)
+
+
+def _mods(cpg, n):
+    return [e.dst.modifier_type for e in cpg.out(n, "AST")
+            if e.dst.label == "MODIFIER"]
+
+
+def _members(cpg, td):
+    return [e.dst for e in cpg.out(td, "AST") if e.dst.label == "MEMBER"]
+
+
+def _methods(cpg, td):
+    return [e.dst for e in cpg.out(td, "AST") if e.dst.label == "METHOD"]
+
+
+def _block_calls(cpg, method):
+    blk = _only(_at(cpg, method).ast_children().is_block().l())
+    return [n for n in _at(cpg, blk).ast_children().is_call().l()]
+
+
+# TsClassesAstCreationPassTests.scala:13-37 (parameter properties)
+def test_parameter_properties():
+    cpg = build_cpg("""
+class Params {
+  constructor(
+    public readonly x: number,
+    protected y: number,
+    private z: number
+  ) {}
+}
+""")
+    td = _only(Q(cpg).type_decl().name_exact("Params").l())
+    x, y, z = _members(cpg, td)
+    assert (x.name, x.type_full_name) == ("x", "__ecma.Number")
+    assert _mods(cpg, x) == ["READONLY", "PUBLIC"]
+    assert (y.name, y.type_full_name) == ("y", "__ecma.Number")
+    assert _mods(cpg, y) == ["PROTECTED"]
+    assert (z.name, z.type_full_name) == ("z", "__ecma.Number")
+    assert _mods(cpg, z) == ["PRIVATE"]
+    ctor = _only([m for m in _methods(cpg, td) if m.name == "<init>"])
+    params = sorted([e.dst for e in cpg.out(ctor, "AST")
+                     if e.dst.label == "METHOD_PARAMETER_IN"],
+                    key=lambda p: p.index)
+    assert [p.name for p in params] == ["this", "x", "y", "z"]
+    assert [c.code for c in _block_calls(cpg, ctor)
+            if c.name == "<operator>.assignment"] == \
+        ["this.x = x", "this.y = y", "this.z = z"]
+
+
+# TsClassesAstCreationPassTests.scala:39-50 (ctor parameter assignment)
+def test_constructor_parameter_assignment():
+    cpg = build_cpg("""
+class D {
+  readonly noWiden = 1
+  constructor(readonly widen = 2) {
+    this.noWiden = 5;
+    this.widen = 6;
+  }
+}
+new D(7);
+""")
+    td = _only(Q(cpg).type_decl().name_exact("D").l())
+    ctor = _only([m for m in _methods(cpg, td) if m.name == "<init>"])
+    params = sorted([e.dst for e in cpg.out(ctor, "AST")
+                     if e.dst.label == "METHOD_PARAMETER_IN"],
+                    key=lambda p: p.index)
+    assert [p.name for p in params] == ["this", "widen"]
+
+
+# TsClassesAstCreationPassTests.scala:52-70 (no dangling locals, class)
+def test_no_dangling_locals_from_members():
+    cpg = build_cpg("""
+class Foo {
+  a = 1
+  static b = 2
+}
+""")
+    # every local is reachable to a method (no danglers)
+    for local in Q(cpg).local().l():
+        cur = local
+        while cur is not None and cur.label != "METHOD":
+            cur = cpg.ast_parent(cur)
+        assert cur is not None, local
+    td = _only(Q(cpg).type_decl().name_exact("Foo").l())
+    init = _only([m for m in _methods(cpg, td) if m.name == "<init>"])
+    assert _mods(cpg, init) == ["VIRTUAL", "CONSTRUCTOR"]
+    assert [c.code for c in _block_calls(cpg, init)] == ["a = 1"]
+    clinit = _only([m for m in _methods(cpg, td) if m.name == "<clinit>"])
+    assert _mods(cpg, clinit) == ["STATIC", "CONSTRUCTOR"]
+    assert [c.code for c in _block_calls(cpg, clinit)] == ["static b = 2"]
+
+
+# TsClassesAstCreationPassTests.scala:72-87 (enum members, no danglers)
+def test_enum_static_init():
+    cpg = build_cpg("""
+export enum Foo {
+  A = '1',
+  B = '2',
+  C = '3',
+}
+""")
+    td = _only(Q(cpg).type_decl().name_exact("Foo").l())
+    clinit = _only([m for m in _methods(cpg, td) if m.name == "<clinit>"])
+    assert _mods(cpg, clinit) == ["STATIC", "CONSTRUCTOR"]
+    assert [c.code for c in _block_calls(cpg, clinit)] == [
+        "A = '1'", "B = '2'", "C = '3'"]
+
+
+# TsClassesAstCreationPassTests.scala:89-117 (simple enum)
+def test_simple_enum():
+    cpg = build_cpg("""
+enum Direction {
+  Up = 1,
+  Down,
+  Left,
+  Right,
+}
+""")
+    td = _only(Q(cpg).type_decl().name_exact("Direction").l())
+    assert td.code == "enum Direction"
+    assert td.full_name == f"{FN}::program:Direction"
+    clinit = _only([m for m in _methods(cpg, td) if m.name == "<clinit>"])
+    assert [c.code for c in _block_calls(cpg, clinit)][0] == "Up = 1"
+    up, down, left, right = _members(cpg, td)
+    assert (up.name, up.code) == ("Up", "Up = 1")
+    assert (down.name, down.code) == ("Down", "Down")
+    assert (left.name, left.code) == ("Left", "Left")
+    assert (right.name, right.code) == ("Right", "Right")
+
+
+# TsClassesAstCreationPassTests.scala:119-156 (abstract functions)
+def test_abstract_class_functions():
+    cpg = build_cpg("""
+export abstract class Foo {
+    x: number;
+    y: number;
+    public abstract foo(): void;
+    public abstract bar(): void;
+}
+""")
+    td = _only(Q(cpg).type_decl().name_exact("Foo").l())
+    assert _mods(cpg, td) == ["ABSTRACT"]
+    x, y, foo_m, bar_m = _members(cpg, td)
+    assert (x.name, x.code, x.type_full_name) == ("x", "x: number;", "__ecma.Number")
+    assert (y.name, y.code, y.type_full_name) == ("y", "y: number;", "__ecma.Number")
+    assert (foo_m.name, foo_m.code) == ("foo", "public abstract foo(): void;")
+    assert (bar_m.name, bar_m.code) == ("bar", "public abstract bar(): void;")
+    methods = {m.name: m for m in _methods(cpg, td)}
+    ctor = methods["<init>"]
+    assert ctor.full_name == f"{FN}::program:Foo:<init>"
+    assert _mods(cpg, ctor) == ["VIRTUAL", "CONSTRUCTOR"]
+    for nm in ("foo", "bar"):
+        m = methods[nm]
+        assert m.full_name == f"{FN}::program:Foo:{nm}"
+        assert _mods(cpg, m) == ["VIRTUAL", "ABSTRACT", "PUBLIC"]
+
+
+# TsClassesAstCreationPassTests.scala:158-184 (simple classes)
+def test_ts_simple_class():
+    cpg = build_cpg("""
+class Greeter {
+  greeting: string;
+  greet() {
+    return "Hello, " + this.greeting;
+  }
+}
+""")
+    td = _only(Q(cpg).type_decl().name_exact("Greeter").l())
+    assert td.code == "class Greeter"
+    assert td.full_name == f"{FN}::program:Greeter"
+    ctor = _only([m for m in _methods(cpg, td) if m.name == "<init>"])
+    assert ctor.full_name == f"{FN}::program:Greeter:<init>"
+    greeting, greet = _members(cpg, td)
+    assert (greeting.name, greeting.code) == ("greeting", "greeting: string;")
+    assert greet.name == "greet"
+
+
+# TsClassesAstCreationPassTests.scala:186-207 (declared classes)
+def test_declared_class_with_empty_constructor():
+    cpg = build_cpg("""
+declare class Greeter {
+  greeting: string;
+  constructor(arg: string);
+}
+""")
+    td = _only(Q(cpg).type_decl().name_exact("Greeter").l())
+    assert td.code == "class Greeter"
+    assert td.full_name == f"{FN}::program:Greeter"
+    ctor = _only([m for m in _methods(cpg, td) if m.name == "<init>"])
+    assert ctor.full_name == f"{FN}::program:Greeter:<init>"
+    (greeting,) = _members(cpg, td)
+    assert (greeting.name, greeting.code) == ("greeting", "greeting: string;")
+
+
+# TsClassesAstCreationPassTests.scala:209-228 (member access modifiers)
+def test_member_access_modifiers():
+    cpg = build_cpg("""
+abstract class Greeter {
+  static a: string;
+  private b: string;
+  public c: string;
+  protected d: string;
+  #e: string; // also private
+}
+""")
+    td = _only(Q(cpg).type_decl().name_exact("Greeter").l())
+    assert "ABSTRACT" in _mods(cpg, td)
+    by_name = {m.name: _mods(cpg, m) for m in _members(cpg, td)}
+    assert "STATIC" in by_name["a"]
+    assert "PRIVATE" in by_name["b"]
+    assert "PUBLIC" in by_name["c"]
+    assert "PROTECTED" in by_name["d"]
+    assert "PRIVATE" in by_name["e"]
