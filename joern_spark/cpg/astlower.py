@@ -539,6 +539,81 @@ class AstLowerer:
         """TS `<T>expr`: pass-through to the asserted expression."""
         return self.ast_for_node_with_fref(js["expression"])
 
+    def _ast_tsinterface_declaration(self, js) -> Ast:
+        """TS interface: TYPE_DECL(code "interface X") with an <init>
+        member + fake constructor (code "new: X", interfaceConstructor in
+        AstForTypesCreator), property/index-signature MEMBERs with
+        source-span codes, and call/method signatures as bodyless METHODs
+        plus MEMBER mirrors."""
+        name = js["id"]["name"]
+        full_name = f"{self.filename}:{':'.join(self.scope_name_stack)}:{name}"
+        td = Node("TYPE_DECL", name=name, full_name=full_name,
+                  code=f"interface {name}", filename=self.filename,
+                  **self._pos(js))
+        td_ast = Ast(td)
+        self.method_parent_stack.append(td)
+        self.scope_name_stack.append(name)
+
+        init_mem = Node("MEMBER", name="<init>", code="new",
+                        type_full_name=full_name, **self._pos(js))
+        td_ast.with_child(Ast(init_mem))
+
+        def bodyless_method(mname, params_js, member, code):
+            fake = {
+                "type": "FunctionExpression",
+                "id": {"name": mname, "start": member["start"],
+                       "end": member["start"], "type": "Identifier"},
+                "params": params_js,
+                "body": {"type": "BlockStatement", "body": [],
+                         "start": member["end"], "end": member["end"]},
+                "start": member["start"], "end": member["end"],
+            }
+            self.ast_for_function(fake, code_override=code)
+
+        for member in js["body"]:
+            t = member["type"]
+            code = self.code_of_node(member)
+            if t == "TSPropertySignature":
+                key_name = member["key"].get("name",
+                                             self.code_of_node(member["key"]))
+                td_ast.with_child(Ast(Node(
+                    "MEMBER", name=_strip_quotes(key_name), code=code,
+                    **self._pos(member))))
+            elif t == "TSIndexSignature":
+                td_ast.with_child(Ast(Node(
+                    "MEMBER", name=member["id"]["name"], code=code,
+                    **self._pos(member))))
+            elif t == "TSCallSignature":
+                lam = self.next_closure_name()
+                bodyless_method(lam, member.get("params", []), member, code)
+                td_ast.with_child(Ast(Node("MEMBER", name=lam, code=code,
+                                           **self._pos(member))))
+            elif t == "TSMethodSignature":
+                key_name = member["key"].get("name",
+                                             self.code_of_node(member["key"]))
+                bodyless_method(key_name, member.get("params", []), member, code)
+                td_ast.with_child(Ast(Node("MEMBER", name=key_name, code=code,
+                                           **self._pos(member))))
+
+        # interfaceConstructor: fake constructor `new: <name>`
+        fake_ctor = {
+            "type": "FunctionExpression",
+            "id": {"name": "<init>", "start": js["start"],
+                   "end": js["start"], "type": "Identifier"},
+            "params": [],
+            "body": {"type": "BlockStatement", "body": [],
+                     "start": js["start"], "end": js["start"]},
+            "start": js["start"], "end": js["start"],
+        }
+        self.ast_for_function(fake_ctor, code_override=f"new: {name}")
+        self._mark_constructor(f"{full_name}:<init>")
+
+        self.scope_name_stack.pop()
+        self.method_parent_stack.pop()
+        td_ast.store(self.cpg)
+        self.cpg.add_edge(self.method_parent_stack[-1], td, "AST")
+        return Ast()
+
     def _ast_tsenum_declaration(self, js) -> Ast:
         """TS enum: TYPE_DECL(code "enum X") + one MEMBER per entry (source
         span codes) + a <clinit> static initializer holding the entry

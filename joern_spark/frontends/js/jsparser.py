@@ -345,6 +345,65 @@ class Parser:
                                  object=obj, body=body)
             if v in ("import", "export"):
                 return self.parse_module_decl()
+        if (k == "id" and t.value == "interface" and self.peek(1).kind == "id"
+                and self.peek(2).value == "{"):
+            self.eat()
+            iid = self.parse_identifier()
+            self.eat("{")
+            members = []
+            while not self.at("}") and self.peek().kind != "eof":
+                if self.opt(";") or self.opt(","):
+                    continue
+                mstart = self.peek().start
+                if self.at("["):
+                    # index signature: [propName: string]: any;
+                    self.eat("[")
+                    pid = self.parse_identifier()
+                    self._opt_type_annotation()
+                    self.eat("]")
+                    self._opt_type_annotation()
+                    end = self.toks[self.pos - 1].end
+                    semi = self.peek()
+                    self.semicolon()
+                    if semi.kind == "punct" and semi.value == ";":
+                        end = semi.end
+                    members.append(self.node("TSIndexSignature", mstart, end,
+                                             id=pid))
+                    continue
+                if self.at("("):
+                    # call signature: (a: T, b: U): R;
+                    params = self.parse_params()
+                    end = self.toks[self.pos - 1].end
+                    semi = self.peek()
+                    self.semicolon()
+                    if semi.kind == "punct" and semi.value == ";":
+                        end = semi.end
+                    members.append(self.node("TSCallSignature", mstart, end,
+                                             params=params))
+                    continue
+                key = self.parse_property_key()
+                if self.at("("):
+                    params = self.parse_params()
+                    end = self.toks[self.pos - 1].end
+                    semi = self.peek()
+                    self.semicolon()
+                    if semi.kind == "punct" and semi.value == ";":
+                        end = semi.end
+                    members.append(self.node("TSMethodSignature", mstart, end,
+                                             key=key, params=params))
+                else:
+                    self._opt_type_annotation()
+                    end = self.toks[self.pos - 1].end
+                    semi = self.peek()
+                    self.semicolon()
+                    if semi.kind == "punct" and semi.value == ";":
+                        end = semi.end
+                    members.append(self.node("TSPropertySignature", mstart, end,
+                                             key=key))
+            rb = self.eat("}")
+            self.opt(";")
+            return self.node("TSInterfaceDeclaration", t.start, rb.end, id=iid,
+                             body=members)
         if (k == "id" and t.value == "enum" and self.peek(1).kind == "id"
                 and self.peek(2).value == "{"):
             self.eat()

@@ -231,3 +231,60 @@ abstract class Greeter {
     assert "PUBLIC" in by_name["c"]
     assert "PROTECTED" in by_name["d"]
     assert "PRIVATE" in by_name["e"]
+
+
+# TsClassesAstCreationPassTests.scala:230-240 (empty interfaces)
+def test_empty_interfaces():
+    cpg = build_cpg("""
+interface A {};
+interface B {};
+""")
+    fulls = sorted(m.full_name for m in Q(cpg).method().l()
+                   if not m.name.startswith("<operator>") and not m.is_external)
+    assert fulls == [
+        f"{FN}::program",
+        f"{FN}::program:A:<init>",
+        f"{FN}::program:B:<init>",
+    ]
+
+
+# TsClassesAstCreationPassTests.scala:242-290 (simple interfaces)
+def test_simple_interface():
+    cpg = build_cpg("""
+interface Greeter {
+  greeting: string;
+  name?: string;
+  [propName: string]: any;
+  "foo": string;
+  (source: string, subString: string): boolean;
+  toString(): string;
+}
+""")
+    td = _only(Q(cpg).type_decl().name_exact("Greeter").l())
+    assert td.code == "interface Greeter"
+    assert td.full_name == f"{FN}::program:Greeter"
+    init, greeting, name, prop_name, foo, anon, to_string = _members(cpg, td)
+    assert init.name == "<init>"
+    assert init.type_full_name == f"{FN}::program:Greeter"
+    assert (greeting.name, greeting.code) == ("greeting", "greeting: string;")
+    assert (name.name, name.code) == ("name", "name?: string;")
+    assert (prop_name.name, prop_name.code) == \
+        ("propName", "[propName: string]: any;")
+    assert (foo.name, foo.code) == ("foo", '"foo": string;')
+    assert (anon.name, anon.code) == \
+        ("<lambda>0", "(source: string, subString: string): boolean;")
+    assert (to_string.name, to_string.code) == ("toString", "toString(): string;")
+    methods = {m.name: m for m in _methods(cpg, td)}
+    ctor = methods["<init>"]
+    assert ctor.full_name == f"{FN}::program:Greeter:<init>"
+    assert ctor.code == "new: Greeter"
+    anon_m = methods["<lambda>0"]
+    assert anon_m.full_name == f"{FN}::program:Greeter:<lambda>0"
+    assert anon_m.code == "(source: string, subString: string): boolean;"
+    params = sorted([e.dst for e in cpg.out(anon_m, "AST")
+                     if e.dst.label == "METHOD_PARAMETER_IN"],
+                    key=lambda p: p.index)
+    assert [p.name for p in params] == ["this", "source", "subString"]
+    assert [p.code for p in params] == \
+        ["this", "source: string", "subString: string"]
+    assert methods["toString"].code == "toString(): string;"
