@@ -23,6 +23,17 @@ DYNAMIC = "DYNAMIC_DISPATCH"
 DYNAMIC_UNKNOWN_FULL_NAME = "<unknownFullName>"
 MAX_CODE_LENGTH = 1000
 
+TS_BUILTIN_TYPES = {"string": "__ecma.String", "number": "__ecma.Number",
+                    "boolean": "__ecma.Boolean"}
+
+
+def _ts_type_full(ts_type):
+    if not ts_type:
+        return ANY
+    if ts_type.endswith("[]"):
+        return "__ecma.Array"
+    return TS_BUILTIN_TYPES.get(ts_type, ANY)
+
 OPERATORS = {
     "=": "<operator>.assignment",
     "+=": "<operator>.assignmentPlus",
@@ -578,6 +589,7 @@ class AstLowerer:
                                              self.code_of_node(member["key"]))
                 td_ast.with_child(Ast(Node(
                     "MEMBER", name=_strip_quotes(key_name), code=code,
+                    type_full_name=_ts_type_full(member.get("ts_type")),
                     **self._pos(member))))
             elif t == "TSIndexSignature":
                 td_ast.with_child(Ast(Node(
@@ -595,24 +607,51 @@ class AstLowerer:
                 td_ast.with_child(Ast(Node("MEMBER", name=key_name, code=code,
                                            **self._pos(member))))
 
-        # interfaceConstructor: fake constructor `new: <name>`
-        fake_ctor = {
-            "type": "FunctionExpression",
-            "id": {"name": "<init>", "start": js["start"],
-                   "end": js["start"], "type": "Identifier"},
-            "params": [],
-            "body": {"type": "BlockStatement", "body": [],
-                     "start": js["start"], "end": js["start"]},
-            "start": js["start"], "end": js["start"],
-        }
-        self.ast_for_function(fake_ctor, code_override=f"new: {name}")
+        # interfaceConstructor: explicit `new (...)` construct signature if
+        # present, else the fake constructor `new: <name>`
+        construct = next((m for m in js["body"]
+                          if m["type"] == "TSConstructSignature"), None)
+        if construct is not None:
+            bodyless_method("<init>", construct.get("params", []), construct,
+                            self.code_of_node(construct))
+        else:
+            fake_ctor = {
+                "type": "FunctionExpression",
+                "id": {"name": "<init>", "start": js["start"],
+                       "end": js["start"], "type": "Identifier"},
+                "params": [],
+                "body": {"type": "BlockStatement", "body": [],
+                         "start": js["start"], "end": js["start"]},
+                "start": js["start"], "end": js["start"],
+            }
+            self.ast_for_function(fake_ctor, code_override=f"new: {name}")
         self._mark_constructor(f"{full_name}:<init>")
 
         self.scope_name_stack.pop()
         self.method_parent_stack.pop()
-        td_ast.store(self.cpg)
-        self.cpg.add_edge(self.method_parent_stack[-1], td, "AST")
-        return Ast()
+        # the TYPE_DECL is the statement's node (reference returns the
+        # typedecl ast, giving interfaces a block-order slot)
+        return td_ast
+
+    def _ast_tstype_alias_declaration(self, js) -> Ast:
+        """TS `type X = {...}`: TYPE_DECL with typed property MEMBERs
+        (astForTypeAlias); non-object aliases are a bare TYPE_DECL."""
+        name = js["id"]["name"]
+        full_name = f"{self.filename}:{':'.join(self.scope_name_stack)}:{name}"
+        td = Node("TYPE_DECL", name=name, full_name=full_name,
+                  code=f"type {name}", filename=self.filename, **self._pos(js))
+        td_ast = Ast(td)
+        for member in js.get("body") or []:
+            if member["type"] != "TSPropertySignature":
+                continue
+            key_name = member["key"].get("name",
+                                         self.code_of_node(member["key"]))
+            td_ast.with_child(Ast(Node(
+                "MEMBER", name=_strip_quotes(key_name),
+                code=self.code_of_node(member),
+                type_full_name=_ts_type_full(member.get("ts_type")),
+                **self._pos(member))))
+        return td_ast
 
     def _ast_tsenum_declaration(self, js) -> Ast:
         """TS enum: TYPE_DECL(code "enum X") + one MEMBER per entry (source
@@ -661,14 +700,37 @@ class AstLowerer:
                                   modifiers=("STATIC", "CONSTRUCTOR"))
         self.scope_name_stack.pop()
         self.method_parent_stack.pop()
-        td_ast.store(self.cpg)
-        self.cpg.add_edge(self.method_parent_stack[-1], td, "AST")
-        return Ast()
+        return td_ast
 
     def _ast_tsmodule_declaration(self, js) -> Ast:
-        """TS `module M { ... }` / `namespace M { ... }`: body lowers as a
-        block (export statements inside keep their exports.<n> lowering)."""
-        return self.ast_for_node_with_fref(js["body"])
+        """TS `namespace A[.B.C] { ... }` / `module M { ... }`: a chain of
+        NAMESPACE_BLOCK nodes (fullName = scope path), the innermost one
+        holding the body block; classes/typedecls inside get namespace-
+        qualified full names."""
+        parts = js.get("name_parts") or [(js["name"], js["start"])]
+        prefix = f"{self.filename}:{':'.join(self.scope_name_stack)}"
+        ns_nodes = []
+        for idx, (pname, pstart) in enumerate(parts):
+            prefix = f"{prefix}:{pname}"
+            # first segment's code starts at the `namespace` keyword
+            code = self.src[(js["start"] if idx == 0 else pstart):js["end"]]
+            if len(code) > MAX_CODE_LENGTH:
+                code = code[:MAX_CODE_LENGTH]
+            ns = Node("NAMESPACE_BLOCK", name=pname, full_name=prefix,
+                      code=code, filename=self.filename, **self._pos(js))
+            ns_nodes.append(ns)
+            self.scope_name_stack.append(pname)
+            self.method_parent_stack.append(ns)
+        body_ast = self.ast_for_node_with_fref(js["body"])
+        for _ in parts:
+            self.scope_name_stack.pop()
+            self.method_parent_stack.pop()
+        # build bottom-up: with_child snapshots the child's contents, so the
+        # innermost namespace must be complete before wrapping it
+        cur_ast = Ast(ns_nodes[-1]).with_child(body_ast)
+        for ns in reversed(ns_nodes[:-1]):
+            cur_ast = Ast(ns).with_child(cur_ast)
+        return cur_ast
 
     def _ast_tsas_expression(self, js) -> Ast:
         """TS `expr as Type`: pass-through to the inner expression (the

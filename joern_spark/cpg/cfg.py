@@ -124,8 +124,11 @@ class CfgCreator:
         label = node.label
         if label in ("METHOD", "METHOD_PARAMETER_IN", "METHOD_PARAMETER_OUT",
                      "MODIFIER", "LOCAL", "TYPE_DECL", "MEMBER", "IMPORT",
-                     "BINDING", "FILE", "NAMESPACE_BLOCK", "DEPENDENCY"):
+                     "BINDING", "FILE", "DEPENDENCY"):
             return Cfg()
+        if label == "NAMESPACE_BLOCK":
+            # inline TS namespaces hold real statements — keep their CFG
+            return self.cfg_for_children(node)
         if label in ("METHOD_REF", "TYPE_REF", "METHOD_RETURN"):
             return self.single(node)
         if label == "CONTROL_STRUCTURE":

@@ -349,60 +349,25 @@ class Parser:
                 and self.peek(2).value == "{"):
             self.eat()
             iid = self.parse_identifier()
-            self.eat("{")
-            members = []
-            while not self.at("}") and self.peek().kind != "eof":
-                if self.opt(";") or self.opt(","):
-                    continue
-                mstart = self.peek().start
-                if self.at("["):
-                    # index signature: [propName: string]: any;
-                    self.eat("[")
-                    pid = self.parse_identifier()
-                    self._opt_type_annotation()
-                    self.eat("]")
-                    self._opt_type_annotation()
-                    end = self.toks[self.pos - 1].end
-                    semi = self.peek()
-                    self.semicolon()
-                    if semi.kind == "punct" and semi.value == ";":
-                        end = semi.end
-                    members.append(self.node("TSIndexSignature", mstart, end,
-                                             id=pid))
-                    continue
-                if self.at("("):
-                    # call signature: (a: T, b: U): R;
-                    params = self.parse_params()
-                    end = self.toks[self.pos - 1].end
-                    semi = self.peek()
-                    self.semicolon()
-                    if semi.kind == "punct" and semi.value == ";":
-                        end = semi.end
-                    members.append(self.node("TSCallSignature", mstart, end,
-                                             params=params))
-                    continue
-                key = self.parse_property_key()
-                if self.at("("):
-                    params = self.parse_params()
-                    end = self.toks[self.pos - 1].end
-                    semi = self.peek()
-                    self.semicolon()
-                    if semi.kind == "punct" and semi.value == ";":
-                        end = semi.end
-                    members.append(self.node("TSMethodSignature", mstart, end,
-                                             key=key, params=params))
-                else:
-                    self._opt_type_annotation()
-                    end = self.toks[self.pos - 1].end
-                    semi = self.peek()
-                    self.semicolon()
-                    if semi.kind == "punct" and semi.value == ";":
-                        end = semi.end
-                    members.append(self.node("TSPropertySignature", mstart, end,
-                                             key=key))
-            rb = self.eat("}")
+            members = self._parse_type_members()
+            rb = self.toks[self.pos - 1]
             self.opt(";")
             return self.node("TSInterfaceDeclaration", t.start, rb.end, id=iid,
+                             body=members)
+        if (k == "id" and t.value == "type" and self.peek(1).kind == "id"
+                and self.peek(2).value == "="):
+            # TS type alias: `type X = {...}` / `type X = T`
+            self.eat()
+            aid = self.parse_identifier()
+            self.eat("=")
+            members = None
+            if self.at("{"):
+                members = self._parse_type_members()
+            else:
+                self._skip_type_annotation()
+            end = self.toks[self.pos - 1].end
+            self.semicolon()
+            return self.node("TSTypeAliasDeclaration", t.start, end, id=aid,
                              body=members)
         if (k == "id" and t.value == "enum" and self.peek(1).kind == "id"
                 and self.peek(2).value == "{"):
@@ -440,13 +405,20 @@ class Parser:
             return self.parse_statement()
         if (k == "id" and t.value in ("module", "namespace")
                 and self.peek(1).kind in ("id", "str")
-                and self.peek(2).value == "{"):
-            # TS module/namespace declaration: `module M { ... }`
+                and self.peek(2).value in ("{", ".")):
+            # TS module/namespace declaration: `namespace A[.B.C] { ... }`
             self.eat()
+            parts = []
             name_tok = self.eat()
+            parts.append((name_tok.value, name_tok.start))
+            while self.at("."):
+                self.eat(".")
+                nt = self.eat()
+                parts.append((nt.value, nt.start))
             body = self.parse_block()
             return self.node("TSModuleDeclaration", t.start, body["end"],
-                             name=name_tok.value, body=body)
+                             name=".".join(p[0] for p in parts),
+                             name_parts=parts, body=body)
         if k == "id" and self.peek(1).value == ":" and self.peek(1).kind == "punct":
             label = self.parse_identifier()
             self.eat(":")
@@ -623,6 +595,60 @@ class Parser:
             self._skip_type_annotation()
             return self.src[t0:self.toks[self.pos - 1].end].strip()
         return None
+
+    def _parse_type_members(self):
+        """Interface / object-type member list: property, index, call,
+        method and construct signatures (spans include the trailing ';')."""
+        self.eat("{")
+        members = []
+
+        def _end_with_semi():
+            end = self.toks[self.pos - 1].end
+            semi = self.peek()
+            self.semicolon()
+            if semi.kind == "punct" and semi.value == ";":
+                end = semi.end
+            return end
+
+        while not self.at("}") and self.peek().kind != "eof":
+            if self.opt(";") or self.opt(","):
+                continue
+            mstart = self.peek().start
+            if self.at("["):
+                self.eat("[")
+                pid = self.parse_identifier()
+                self._opt_type_annotation()
+                self.eat("]")
+                self._opt_type_annotation()
+                members.append(self.node("TSIndexSignature", mstart,
+                                         _end_with_semi(), id=pid))
+                continue
+            if self.at("("):
+                params = self.parse_params()
+                members.append(self.node("TSCallSignature", mstart,
+                                         _end_with_semi(), params=params))
+                continue
+            if self.peek().value == "new" and self.peek(1).value == "(":
+                self.eat("new")
+                params = self.parse_params()
+                members.append(self.node("TSConstructSignature", mstart,
+                                         self.toks[self.pos - 1].end,
+                                         params=params))
+                self.opt(";")
+                continue
+            key = self.parse_property_key()
+            if self.at("("):
+                params = self.parse_params()
+                members.append(self.node("TSMethodSignature", mstart,
+                                         _end_with_semi(), key=key,
+                                         params=params))
+            else:
+                ts_type = self._opt_type_annotation()
+                members.append(self.node("TSPropertySignature", mstart,
+                                         _end_with_semi(), key=key,
+                                         ts_type=ts_type))
+        self.eat("}")
+        return members
 
     def parse_params(self):
         self.eat("(")

@@ -288,3 +288,108 @@ interface Greeter {
     assert [p.code for p in params] == \
         ["this", "source: string", "subString: string"]
     assert methods["toString"].code == "toString(): string;"
+
+
+# TsClassesAstCreationPassTests.scala:291-311 (interface constructor)
+def test_interface_constructor():
+    cpg = build_cpg("""
+interface Greeter {
+  new (param: string) : Greeter
+}
+""")
+    td = _only(Q(cpg).type_decl().name_exact("Greeter").l())
+    assert td.code == "interface Greeter"
+    (ctor,) = _methods(cpg, td)
+    assert ctor.name == "<init>"
+    assert ctor.full_name == f"{FN}::program:Greeter:<init>"
+    assert ctor.code == "new (param: string) : Greeter"
+    params = sorted([e.dst for e in cpg.out(ctor, "AST")
+                     if e.dst.label == "METHOD_PARAMETER_IN"],
+                    key=lambda p: p.index)
+    assert [p.name for p in params] == ["this", "param"]
+    assert [p.code for p in params] == ["this", "param: string"]
+    assert "CONSTRUCTOR" in _mods(cpg, ctor)
+
+
+def _ns(cpg, name):
+    return _only([n for n in cpg.nodes
+                  if n.label == "NAMESPACE_BLOCK" and n.name == name])
+
+
+# TsClassesAstCreationPassTests.scala:313-324 (simple namespace)
+def test_simple_namespace():
+    cpg = build_cpg("""
+namespace A {
+  class Foo {};
+}
+""")
+    a = _ns(cpg, "A")
+    assert a.code.startswith("namespace A")
+    assert a.full_name == f"{FN}::program:A"
+    foo = _only(Q(cpg).type_decl().name_exact("Foo").l())
+    assert foo.full_name == f"{FN}::program:A:Foo"
+
+
+# TsClassesAstCreationPassTests.scala:326-352 (nested namespaces)
+def test_nested_namespaces():
+    cpg = build_cpg("""
+namespace A {
+  namespace B {
+    namespace C {
+      class Foo {};
+    }
+  }
+}
+""")
+    a, b, c = _ns(cpg, "A"), _ns(cpg, "B"), _ns(cpg, "C")
+    assert a.code.startswith("namespace A")
+    assert a.full_name == f"{FN}::program:A"
+    # A → body block → B
+    grandkids = [g.dst for e in cpg.out(a, "AST")
+                 for g in cpg.out(e.dst, "AST")]
+    assert b in grandkids
+    assert b.code.startswith("namespace B")
+    assert b.full_name == f"{FN}::program:A:B"
+    assert c.code.startswith("namespace C")
+    assert c.full_name == f"{FN}::program:A:B:C"
+    foo = _only(Q(cpg).type_decl().name_exact("Foo").l())
+    assert foo.full_name == f"{FN}::program:A:B:C:Foo"
+
+
+# TsClassesAstCreationPassTests.scala:354-376 (dotted namespace path)
+def test_dotted_namespace_path():
+    cpg = build_cpg("""
+namespace A.B.C {
+  class Foo {};
+}
+""")
+    a, b, c = _ns(cpg, "A"), _ns(cpg, "B"), _ns(cpg, "C")
+    assert a.code.startswith("namespace A")
+    assert a.full_name == f"{FN}::program:A"
+    assert b in [e.dst for e in cpg.out(a, "AST")]
+    assert b.code.startswith("B.C")
+    assert b.full_name == f"{FN}::program:A:B"
+    assert c in [e.dst for e in cpg.out(b, "AST")]
+    assert c.code.startswith("C")
+    assert c.full_name == f"{FN}::program:A:B:C"
+    foo = _only(Q(cpg).type_decl().name_exact("Foo").l())
+    assert foo.full_name == f"{FN}::program:A:B:C:Foo"
+
+
+# TsClassesAstCreationPassTests.scala:378-390 (object type alias)
+def test_object_type_alias():
+    cpg = build_cpg("""
+export type User = {
+    email: string;
+    organizationIds: string[];
+    username: string;
+    name: string;
+    gender: string;
+}
+""")
+    td = _only(Q(cpg).type_decl().name_exact("User").l())
+    members = _members(cpg, td)
+    assert [m.name for m in members] == [
+        "email", "organizationIds", "username", "name", "gender"]
+    assert {m.type_full_name for m in members} == \
+        {"__ecma.String", "__ecma.Array"}
