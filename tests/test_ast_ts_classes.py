@@ -393,3 +393,35 @@ export type User = {
         "email", "organizationIds", "username", "name", "gender"]
     assert {m.type_full_name for m in members} == \
         {"__ecma.String", "__ecma.Array"}
+
+
+# TsClassesAstCreationPassTests.scala:436-463 (stable global type order)
+def test_stable_order_for_global_types():
+    cpg = build_cpg("""
+class FirstClass {}
+
+declare class DeclaredClass { constructor(); }
+
+interface FirstInterface {}
+
+enum FirstEnum { A }
+
+type FirstAlias = {}
+
+namespace N {
+  class NsClass {}
+  interface NsInterface {}
+  enum NsEnum { B }
+  type NsAlias = {}
+}
+""")
+    prog = _only(Q(cpg).method().name_exact(":program").l())
+    blk = _only(_at(cpg, prog).ast_children().is_block().l())
+    orders = sorted(e.dst.order for e in cpg.out(blk, "AST")
+                    if e.dst.label != "LOCAL")
+    assert orders == [1, 2, 3, 4, 5, 6]
+    ns = _ns(cpg, "N")
+    nblk = _only([e.dst for e in cpg.out(ns, "AST") if e.dst.label == "BLOCK"])
+    inner = sorted(e.dst.order for e in cpg.out(nblk, "AST")
+                   if e.dst.label != "LOCAL")
+    assert inner == [1, 2, 3, 4]
