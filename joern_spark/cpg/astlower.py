@@ -1348,6 +1348,9 @@ class AstLowerer:
                 node = Node("METHOD_PARAMETER_IN", name=pname, code=self.code_of_node(p),
                             index=index, order=index, evaluation_strategy="BY_VALUE",
                             type_full_name=ts, **self._pos(p))
+                if p.get("decorators"):
+                    self.cpg.add_node(node)
+                    self._attach_annotations(node, p["decorators"])
                 self.scope.add_variable(pname, node)
             params.append(node)
         return params
@@ -1925,6 +1928,13 @@ class AstLowerer:
                 m_js["id"] = {"name": key_name, "start": member["key"]["start"],
                               "end": member["key"]["end"], "type": "Identifier"}
                 self.ast_for_function(m_js)
+                if member.get("decorators"):
+                    target = next((n for n in reversed(self.cpg.nodes)
+                                   if n.label == "METHOD"
+                                   and n.full_name == f"{full_name}:{key_name}"),
+                                  None)
+                    if target is not None:
+                        self._attach_annotations(target, member["decorators"])
                 if member.get("static"):
                     self._add_method_modifier(f"{full_name}:{key_name}", "STATIC")
                 for m in reversed(member.get("ts_modifiers", []) or []):
@@ -2079,6 +2089,15 @@ class AstLowerer:
         type_ref = Node("TYPE_REF", code=f"class {name}", type_full_name=td.full_name,
                         **self._pos(js))
         return Ast(type_ref)
+
+    def _attach_annotations(self, node: Node, decorators):
+        """ANNOTATION nodes for TS decorators (order = 1..n)."""
+        for i, d in enumerate(decorators or [], start=1):
+            ann = Node("ANNOTATION", name=d["name"], full_name=d["full"],
+                       code=d["code"], order=i,
+                       line=self.line_of(d["start"]),
+                       column=self.col_of(d["start"]))
+            self.cpg.add_edge(node, ann, "AST")
 
     def _add_method_modifier(self, method_full_name: str, modifier_type: str):
         for n in reversed(self.cpg.nodes):

@@ -596,6 +596,32 @@ class Parser:
             return self.src[t0:self.toks[self.pos - 1].end].strip()
         return None
 
+    def _parse_decorators(self):
+        """`@a.b.c(args)` decorator list; returns [{code,name,full,start,end}]."""
+        out = []
+        while self.at("@"):
+            at_tok = self.eat("@")
+            parts = [self.eat().value]
+            while self.at("."):
+                self.eat(".")
+                parts.append(self.eat().value)
+            end = self.toks[self.pos - 1].end
+            if self.at("("):
+                depth = 0
+                while self.peek().kind != "eof":
+                    v = self.eat().value
+                    if v == "(":
+                        depth += 1
+                    elif v == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                end = self.toks[self.pos - 1].end
+            out.append({"code": self.src[at_tok.start:end],
+                        "name": parts[-1], "full": ".".join(parts),
+                        "start": at_tok.start, "end": end})
+        return out
+
     def _parse_type_members(self):
         """Interface / object-type member list: property, index, call,
         method and construct signatures (spans include the trailing ';')."""
@@ -661,6 +687,7 @@ class Parser:
                 self._opt_type_annotation()
                 params.append(self.node("RestElement", pt.start, arg["end"], argument=arg))
             else:
+                p_decorators = self._parse_decorators()
                 p_mods = []
                 while (self.peek().kind == "id"
                        and self.peek().value in ("public", "private",
@@ -670,9 +697,10 @@ class Parser:
                     p_mods.append(self.eat().value)
                 p = self.parse_binding_target()
                 ts_type = self._opt_type_annotation()
-                if p_mods:
+                if p_mods or p_decorators:
                     p = dict(p)
                     p["ts_modifiers"] = p_mods
+                    p["decorators"] = p_decorators
                 if ts_type is not None:
                     p = dict(p)
                     p["ts_type"] = ts_type
@@ -699,6 +727,7 @@ class Parser:
         while not self.at("}") and self.peek().kind != "eof":
             if self.opt(";"):
                 continue
+            decorators = self._parse_decorators()
             mstart = self.peek().start
             is_private_name = self.src[mstart:mstart + 1] == "#" or (
                 mstart > 0 and self.src[mstart - 1] == "#")
@@ -751,7 +780,8 @@ class Parser:
                 members.append(
                     self.node("ClassMethod", mstart, end, key=key, params=params,
                               body=body, kind=kind, static=static, computed=False,
-                              ts_modifiers=ts_mods, private_name=is_private_name)
+                              ts_modifiers=ts_mods, private_name=is_private_name,
+                              decorators=decorators)
                 )
             else:
                 prop_type = self._opt_type_annotation()
