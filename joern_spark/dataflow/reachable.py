@@ -49,6 +49,7 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
                             F.col("node_id").alias("sink_id")).distinct().persist()
     frontier.count()
     visited = frontier
+    pinned = [frontier]  # every persisted frame; released before returning
 
     def expand(fr):
         return (
@@ -73,6 +74,7 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
         # are chain-tip-sized, never corpus-sized.)
         new_frontier = step.join(visited, ["url", "cur", "sink_id"],
                                  "left_anti").persist()
+        pinned.append(new_frontier)
         if new_frontier.count() == 0:
             break
         # new_frontier is disjoint from visited by construction (anti-join
@@ -82,5 +84,13 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
         frontier = new_frontier
 
     src = sources.select(F.col("url").alias("s_url"), F.col("node_id").alias("source_id"))
-    return (visited.join(src, on=[visited.url == src.s_url, visited.cur == src.source_id])
-            .select("url", "source_id", "sink_id").distinct())
+    result = (visited.join(src, on=[visited.url == src.s_url, visited.cur == src.source_id])
+              .select("url", "source_id", "sink_id").distinct().persist())
+    # Materialize the (pair-sized) result, then release every per-frontier
+    # cache — otherwise repeated calls in a long-lived session accumulate
+    # one cached block set per frontier per call (storage-memory creep).
+    # The returned frame stays persisted (single small cache, caller-owned).
+    result.count()
+    for df in pinned:
+        df.unpersist(blocking=False)
+    return result

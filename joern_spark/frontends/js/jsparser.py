@@ -582,6 +582,20 @@ class Parser:
                 depth -= 1
                 if depth < 0:
                     return
+            elif (t.kind == "punct" and v[0] == ">"
+                  and v.lstrip(">") in ("", "=", "==", "===")):
+                # The lexer emits `>>`, `>>>`, `>=`, `>>=`, `>>>=` as one
+                # token, but in type position each `>` closes one generic
+                # level (e.g. `Array<Array<number>>`).  Peel a single `>`
+                # off the token in place so depth bookkeeping stays exact
+                # and any trailing `=` can terminate the annotation at
+                # depth 0 on the next iteration.
+                depth -= 1
+                if depth < 0:
+                    return
+                t.value = v[1:]
+                t.start += 1
+                continue
             self.eat()
 
     def _opt_type_annotation(self):

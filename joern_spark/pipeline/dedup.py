@@ -75,8 +75,12 @@ def _py_shingles(text: str, k: int = SHINGLE) -> list[str]:
     k-token windows, <k-token fallback to the first 1000 chars)."""
     import re
 
-    t = text.strip() if text is not None else ""
-    toks = re.split(r"\s+", t) if t != "" else [""]
+    # `trim` in both engines strips ASCII space ONLY, and the engines'
+    # regex \s is ASCII ([\t\n\f\r ]) — Python's unicode-aware strip()/\s
+    # would diverge on tabs/newlines at the edges (oracle keeps an empty
+    # leading token) and on NBSP/unicode whitespace.
+    t = text.strip(" ") if text is not None else ""
+    toks = re.split(r"[\t\n\f\r ]+", t) if t != "" else [""]
     if len(toks) < k:
         return [t[:1000]]
     return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
@@ -226,8 +230,10 @@ def simhash(df: DataFrame, text_col: str = "text", n_bits: int = 64) -> DataFram
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
-                t = text.strip() if text is not None else ""
-                toks = re.split(r"\s+", t) if t != "" else [""]
+                # ASCII-only trim/\s to match the engine/oracle semantics
+                # (see _py_shingles).
+                t = text.strip(" ") if text is not None else ""
+                toks = re.split(r"[\t\n\f\r ]+", t) if t != "" else [""]
                 votes = np.zeros(n_bits, dtype=np.int64)
                 for tok, cnt in Counter(toks).items():
                     votes += cnt * (2 * bits_of(tok) - 1)

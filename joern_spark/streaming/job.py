@@ -130,8 +130,10 @@ def exactly_once_batch_writer(out_dir: str, n_key_buckets: int = 8):
                 .withColumn("batch_id", F.lit(batch_id))
                 .withColumn("src_partition", F.spark_partition_id())
                 .withColumn("key_bucket",
-                            F.abs(F.hash("window_start", "query_name"))
-                            % n_key_buckets))
+                            # pmod, not abs(hash)%n: abs(Int.MinValue)
+                            # overflows negative and % keeps the sign
+                            F.pmod(F.hash("window_start", "query_name"),
+                                   F.lit(n_key_buckets))))
         rows.persist()
         (rows.repartition("key_bucket")
          .write.mode("overwrite").partitionBy("key_bucket")
@@ -156,7 +158,8 @@ def write_findings_partitioned(findings: DataFrame, out_dir: str,
     domain = F.regexp_extract("url", r"https://([^/]+)/", 1)
     out = (findings
            .withColumn("day", F.to_date("warc_ts"))
-           .withColumn("domain_bucket", F.abs(F.hash("url")) % n_domain_buckets))
+           .withColumn("domain_bucket",
+                       F.pmod(F.hash("url"), F.lit(n_domain_buckets))))
     (out.repartition("day", "domain_bucket")
      .write.mode("overwrite")
      .partitionBy("day", "domain_bucket")
