@@ -279,11 +279,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing demo: deterministic synthetic blobs →
-    mapInPandas feature extraction (decode stubbed; Spark side real)."""
+    """Multimodal pipeline: synthetic blobs with REAL format headers
+    (PNG IHDR / WAV RIFF / MP4 tkhd) → mapInPandas byte-level header
+    decode.  The oracle recomputes every field from media_id arithmetic
+    (the generator's parameters), so this checks the decoder round-trips
+    the actual bytes."""
     media = multimodal.synthetic_media(spark, 64)
-    feats = multimodal.extract_image_features(media)
-    return feats.select("media_id", "media_type", "n_bytes", "sha1", "width", "height")
+    feats = multimodal.extract_media_features(media)
+    return feats.select("media_id", "media_type", "n_bytes",
+                        "width", "height", "n_channels", "sample_rate")
 
 
 # ---------------------------------------------------------------------------
@@ -735,6 +739,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, CAST(n_pairs AS BIGINT) AS n_pairs
             FROM read_csv_auto('/root/repo/fixtures/cpg_reachable_pairs_sf001.csv', header=true)
         """,
-        # sim_ann_lsh, media_features: non-SQL-expressible here (LSH plane
-        # arithmetic / binary decode stubs) → rows-only check.
+        # Full ANN-LSH oracle: the plane pattern is pure integer arithmetic
+        # (similarity._plane_matrix — sign = +1 iff
+        # ((i*2654435761 + (42+1000*t+p)*40503) mod 97) < 48), so the whole
+        # pipeline (8 tables × 4 planes, Hamming-1 query multiprobe,
+        # candidate-only exact cosine, top-5) is SQL-expressible.  Sign
+        # margins were measured ≥1.4e-5 across all SFs, so numpy-matmul vs
+        # sequential list_dot_product summation order cannot flip a bit.
+        "sim_ann_lsh": """
+            WITH plane AS (
+              SELECT t, p, list_transform(range(64), i ->
+                       CASE WHEN ((i*2654435761 + (42 + 1000*t + p)*40503) % 97) < 48
+                            THEN 1.0 ELSE -1.0 END) AS w
+              FROM range(8) r1(t), range(4) r2(p)
+            ),
+            buckets AS (
+              SELECT e.vec_id,
+                     pl.t,
+                     CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) > 0
+                                   THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+              FROM embeddings e, plane pl
+              GROUP BY e.vec_id, pl.t
+            ),
+            qbuckets AS (
+              SELECT b.vec_id, b.t, xor(b.bucket, f.fl) AS bucket
+              FROM buckets b, (VALUES (0),(1),(2),(4),(8)) f(fl)
+              WHERE b.vec_id < 8
+            ),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+              FROM qbuckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+              WHERE q.vec_id != c.vec_id
+            ),
+            scored AS (
+              SELECT cand.query_id, cand.nbr_id,
+                     round(
+                       list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])))),
+                       6) AS cosine
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ce ON ce.vec_id = cand.nbr_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                        PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, rank, nbr_id, cosine FROM ranked WHERE rank <= 5
+        """,
+        # media_features oracle: the synthetic blobs carry REAL format
+        # headers whose fields are pure arithmetic on media_id
+        # (multimodal._png_blob/_wav_blob/_mp4_blob); the Spark side must
+        # PARSE them back from the bytes.  n_bytes = header + 16·(1+id%7)
+        # payload (PNG hdr 33, WAV hdr 44, MP4 boxes 132).
+        "media_features": """
+            SELECT media_id,
+                   CASE media_id % 3 WHEN 0 THEN 'image/png'
+                                     WHEN 1 THEN 'audio/wav'
+                                     ELSE 'video/mp4' END AS media_type,
+                   CAST(CASE media_id % 3
+                          WHEN 0 THEN 33 + 16*(1 + media_id % 7)
+                          WHEN 1 THEN 44 + 16*(1 + media_id % 7)
+                          ELSE 132 + 16*(1 + media_id % 7) END AS BIGINT) AS n_bytes,
+                   CAST(CASE media_id % 3
+                          WHEN 0 THEN 16 + (media_id % 32) * 4
+                          WHEN 2 THEN 320 + (media_id % 8) * 16 END AS INT) AS width,
+                   CAST(CASE media_id % 3
+                          WHEN 0 THEN 16 + ((media_id * 7) % 32) * 4
+                          WHEN 2 THEN 240 + ((media_id * 3) % 8) * 16 END AS INT) AS height,
+                   CAST(CASE media_id % 3
+                          WHEN 1 THEN 1 + media_id % 2 END AS INT) AS n_channels,
+                   CAST(CASE media_id % 3
+                          WHEN 1 THEN 8000 * (1 + media_id % 5) END AS INT) AS sample_rate
+            FROM (SELECT range AS media_id FROM range(64))
+        """,
     }

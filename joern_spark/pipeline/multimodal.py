@@ -1,10 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary` columns
 with typed metadata, processed via Arrow-batched `mapInPandas`.
 
-The decode libraries (PIL/ffmpeg/etc.) are NOT in this container, so the
-decode kernels are deterministic fakes behind `_decode_*` seams — the Spark
-side (schemas, batch iteration, partitioning, UDF signatures) is real and
-tested.  Swapping in a real decoder is a one-function change.
+The heavy decode libraries (PIL/ffmpeg) are NOT in this container, so the
+decoder here is a real, dependency-free HEADER parser for three container
+formats — PNG (IHDR), WAV (RIFF/fmt), and MP4 (ISO-BMFF box walk to tkhd) —
+plus a byte-histogram feature over the payload.  Full pixel/sample decode
+stays behind the same seam (`decode_media_header` / `_payload_feature`);
+swapping in PIL/ffmpeg is a one-function change.
 
 Scale notes: binary payloads never pass through a shuffle — `mapInPandas`
 is a narrow transformation; downstream aggregations carry only the small
@@ -15,14 +17,15 @@ batch memory for large blobs.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -31,7 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-IMAGE_FEATURE_SCHEMA = StructType(
+MEDIA_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("media_type", StringType()),
@@ -39,29 +42,93 @@ IMAGE_FEATURE_SCHEMA = StructType(
         StructField("sha1", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
         StructField("feature", ArrayType(FloatType())),
     ]
 )
 
+# kept as an alias for the round-1/2 name
+IMAGE_FEATURE_SCHEMA = MEDIA_FEATURE_SCHEMA
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic fake decode: derives (width, height, 8-dim feature)
-    from a sha1 of the bytes.  Replace with a real decoder (PIL) when the
-    library is available; the function contract is the integration seam.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
+
+
+def decode_media_header(payload: bytes) -> dict:
+    """Parse real container headers from raw bytes (format sniffed from
+    magic numbers, the declared media_type is NOT trusted):
+
+    - PNG : 8-byte signature, then the IHDR chunk — width/height are the
+      two big-endian u32 at offsets 16/20 (PNG spec §11.2.2).
+    - WAV : ``RIFF .... WAVE`` then chunk walk to ``fmt `` — channels
+      (u16 LE @ +2) and sample rate (u32 LE @ +4) inside the fmt block.
+    - MP4 : ISO-BMFF box walk — descend container boxes (moov/trak/...)
+      to ``tkhd`` (v0: 92 bytes) and read width/height as 16.16 fixed
+      point at offsets 76/80 within the box payload.
+
+    Returns {width, height, n_channels, sample_rate} with None for fields
+    the format does not carry (or on truncated/unknown input).
     """
-    h = hashlib.sha1(payload).digest()
-    width = 64 + h[0] * 4
-    height = 64 + h[1] * 4
-    feature = [round(b / 255.0, 6) for b in h[2:10]]
-    return width, height, feature
+    out = {"width": None, "height": None, "n_channels": None, "sample_rate": None}
+    if payload.startswith(_PNG_SIG) and len(payload) >= 24:
+        # signature(8) + IHDR length(4) + b"IHDR"(4) + width(4) + height(4)
+        if payload[12:16] == b"IHDR":
+            out["width"], out["height"] = struct.unpack(">II", payload[16:24])
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            if cid == b"fmt " and pos + 16 <= len(payload):
+                out["n_channels"] = struct.unpack("<H", payload[pos + 10:pos + 12])[0]
+                out["sample_rate"] = struct.unpack("<I", payload[pos + 12:pos + 16])[0]
+                return out
+            pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+        return out
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        def walk(lo: int, hi: int) -> bool:
+            pos = lo
+            while pos + 8 <= hi:
+                (size,) = struct.unpack(">I", payload[pos:pos + 4])
+                btype = payload[pos + 4:pos + 8]
+                if size < 8 or pos + size > hi:
+                    return False
+                if btype == b"tkhd" and size >= 92:
+                    # v0 tkhd: ... matrix(36) then width/height as 16.16
+                    w_fp, h_fp = struct.unpack(">II", payload[pos + 84:pos + 92])
+                    out["width"] = w_fp >> 16
+                    out["height"] = h_fp >> 16
+                    return True
+                if btype in _MP4_CONTAINERS and walk(pos + 8, pos + size):
+                    return True
+                pos += size
+            return False
+
+        walk(0, len(payload))
+        return out
+    return out
 
 
-def extract_image_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
-    """`mapInPandas` feature extraction over binary blobs.
+def _payload_feature(payload: bytes, n_buckets: int = 8) -> list[float]:
+    """8-bucket byte histogram over the payload, normalized — a real
+    (if simple) content feature computed from the actual bytes."""
+    if not payload:
+        return [0.0] * n_buckets
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 5, minlength=n_buckets).astype(np.float64)
+    return [round(float(v), 6) for v in hist / len(payload)]
+
+
+def extract_media_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
+    """`mapInPandas` header decode + feature extraction over binary blobs.
 
     Input: (media_id long, media_type string, blob binary). Output:
-    IMAGE_FEATURE_SCHEMA.  One Arrow batch in, one out — vectorized
-    transfer; per-blob work happens in numpy/bytes land.
+    MEDIA_FEATURE_SCHEMA.  One Arrow batch in, one out — vectorized
+    transfer; per-blob work happens in bytes/numpy land.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -69,34 +136,107 @@ def extract_image_features(df: DataFrame, id_col: str = "media_id", blob_col: st
             rows = []
             for mid, mtype, blob in zip(pdf[id_col], pdf["media_type"], pdf[blob_col]):
                 payload = bytes(blob) if blob is not None else b""
-                w, hgt, feat = _decode_image_stub(payload)
+                hdr = decode_media_header(payload)
                 rows.append(
                     (
                         int(mid),
                         str(mtype),
                         len(payload),
                         hashlib.sha1(payload).hexdigest(),
-                        w,
-                        hgt,
-                        feat,
+                        hdr["width"],
+                        hdr["height"],
+                        hdr["n_channels"],
+                        hdr["sample_rate"],
+                        _payload_feature(payload),
                     )
                 )
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 rows,
-                columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields],
+                columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields],
             )
+            # None-padded int columns must not coerce to float64 (rounds
+            # 64-bit values); keep object dtype and let Arrow cast.
+            yield out
 
-    return df.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+    return df.mapInPandas(run, MEDIA_FEATURE_SCHEMA)
+
+
+# round-1/2 name
+extract_image_features = extract_media_features
+
+
+# ---------------------------------------------------------------------------
+# Synthetic media source (tests/bench): real format headers, deterministic
+# fields derived from media_id so a SQL oracle can recompute them.
+# ---------------------------------------------------------------------------
+
+def _png_blob(media_id: int, payload: bytes) -> bytes:
+    width = 16 + (media_id % 32) * 4
+    height = 16 + ((media_id * 7) % 32) * 4
+    ihdr = struct.pack(">II", width, height) + bytes([8, 2, 0, 0, 0])
+    chunk = struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+    return _PNG_SIG + chunk + payload  # 33 + len(payload) bytes
+
+
+def _wav_blob(media_id: int, payload: bytes) -> bytes:
+    n_channels = 1 + (media_id % 2)
+    sample_rate = 8000 * (1 + media_id % 5)
+    bits = 16
+    byte_rate = sample_rate * n_channels * bits // 8
+    block_align = n_channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits)
+    data = b"data" + struct.pack("<I", len(payload)) + payload
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body  # 44 + len(payload)
+
+
+def _mp4_blob(media_id: int, payload: bytes) -> bytes:
+    width = 320 + (media_id % 8) * 16
+    height = 240 + ((media_id * 3) % 8) * 16
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+    tkhd_body = (b"\x00" * 4            # version+flags
+                 + b"\x00" * 16         # ctime mtime trackid reserved
+                 + struct.pack(">I", 1000)  # duration
+                 + b"\x00" * 8          # reserved
+                 + b"\x00" * 8          # layer alt volume reserved
+                 + b"\x00" * 36         # matrix
+                 + struct.pack(">II", width << 16, height << 16))
+    tkhd = struct.pack(">I", 8 + len(tkhd_body)) + b"tkhd" + tkhd_body  # 92
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(trak)) + b"moov" + trak
+    mdat = struct.pack(">I", 8 + len(payload)) + b"mdat" + payload
+    return ftyp + moov + mdat  # 16 + 108 + 8 + len(payload) = 132 + len(payload)
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests: blob = repeated md5 bytes."""
-    rows = spark.range(n).select(
-        F.col("id").alias("media_id"),
-        F.when(F.col("id") % 3 == 0, F.lit("image/png"))
-        .when(F.col("id") % 3 == 1, F.lit("audio/wav"))
-        .otherwise(F.lit("video/mp4"))
-        .alias("media_type"),
-        F.to_binary(F.repeat(F.md5(F.col("id").cast("string")), 4), F.lit("hex")).alias("blob"),
-    )
-    return rows
+    """Deterministic media table with REAL format headers: PNG / WAV / MP4
+    round-robin by media_id; every header field is pure arithmetic on
+    media_id (see _png_blob/_wav_blob/_mp4_blob) so a SQL oracle can
+    recompute what the byte-level decoder must extract.  Payload is
+    md5(str(id)) raw bytes repeated (1 + id % 7) times.
+
+    Built via mapInPandas (struct.pack per row inside Arrow batches) —
+    a synthetic SOURCE, not a hot-path operator.
+    """
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("blob", BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                payload = hashlib.md5(str(mid).encode()).digest() * (1 + mid % 7)
+                kind = mid % 3
+                if kind == 0:
+                    rows.append((mid, "image/png", _png_blob(mid, payload)))
+                elif kind == 1:
+                    rows.append((mid, "audio/wav", _wav_blob(mid, payload)))
+                else:
+                    rows.append((mid, "video/mp4", _mp4_blob(mid, payload)))
+            yield pd.DataFrame(rows, columns=["media_id", "media_type", "blob"])
+
+    return spark.range(n).mapInPandas(gen, schema)
