@@ -16,7 +16,8 @@ from joern_spark.cpg.cfg import add_cfg
 from joern_spark.cpg.core import Cpg
 from joern_spark.cpg.dominators import add_cdg, add_dominators
 from joern_spark.cpg.passes import (
-    create_method_stubs, link_calls, link_dynamic_calls, recover_types,
+    create_method_stubs, create_namespaces, link_calls, link_dynamic_calls,
+    recover_types,
 )
 from joern_spark.cpg.reachingdef import add_reaching_defs
 from joern_spark.cpg.semantics import Semantics, default_semantics
@@ -29,6 +30,7 @@ def build_cpg(src: str, filename: str = "script.js",
     if sys.getrecursionlimit() < 20000:
         sys.setrecursionlimit(20000)
     cpg = lower_js(src, filename)
+    create_namespaces(cpg)   # NamespaceCreator (A5, Base overlay)
     create_method_stubs(cpg)
     recover_types(cpg)       # XTypeRecovery subset (A19)
     link_dynamic_calls(cpg)  # CHA (DynamicCallLinker, A15)

@@ -42,6 +42,23 @@ def _make_stub(cpg: Cpg, call: Node, fn: str) -> Node:
     return method
 
 
+def create_namespaces(cpg: Cpg):
+    """NAMESPACE aggregation nodes: group NAMESPACE_BLOCKs by name, one
+    NAMESPACE node per distinct name, REF edge from each block to it
+    (passes/base/NamespaceCreator.scala:18-26).  Corpus-wide this is a
+    groupBy(name) — here per document, since namespaces never alias
+    across self-contained pages."""
+    by_name: dict[str, list[Node]] = {}
+    for n in cpg.nodes:
+        if n.label == "NAMESPACE_BLOCK":
+            by_name.setdefault(n.name, []).append(n)
+    for name, blocks in by_name.items():
+        ns = Node("NAMESPACE", name=name, code=name, order=-1)
+        cpg.add_node(ns)
+        for block in blocks:
+            cpg.add_edge(block, ns, "REF")
+
+
 def create_method_stubs(cpg: Cpg):
     existing = {m.full_name for m in cpg.methods()}
     seen: dict[str, Node] = {}

@@ -25,18 +25,34 @@ from pyspark.sql import functions as F
 
 
 def merge_upsert(spark: SparkSession, target_dir: str, updates: DataFrame,
-                 keys: list[str]) -> DataFrame:
+                 keys: list[str], n_buckets: int = 64) -> DataFrame:
     """MERGE INTO target USING updates ON keys (matched → replace,
-    unmatched → insert).  Returns the merged frame (also written)."""
-    updates = updates.localCheckpoint(eager=True)
+    unmatched → insert).  Returns the merged (touched-bucket) frame.
+
+    Partition-pruned: the target is laid out partitioned by
+    ``key_bucket = pmod(hash(keys), n_buckets)``; a merge reads and
+    rewrites ONLY the buckets present in `updates` (dynamic partition
+    overwrite), so merge cost scales with the update size, not the table
+    size — untouched bucket directories are left byte-identical.  This is
+    the local stand-in for Iceberg's merge-on-read commit.
+    """
+    bucket = F.pmod(F.hash(*keys), F.lit(n_buckets))
+    updates = (updates.withColumn("key_bucket", bucket)
+               .localCheckpoint(eager=True))
     if os.path.exists(target_dir):
-        target = spark.read.parquet(target_dir)
+        touched = [r.key_bucket for r in
+                   updates.select("key_bucket").distinct().collect()]
+        target = (spark.read.parquet(target_dir)
+                  .where(F.col("key_bucket").isin(touched)))
         kept = target.join(updates.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(updates)
     else:
         merged = updates
     merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(target_dir)
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("key_bucket")
+     .parquet(target_dir))
     return merged
 
 

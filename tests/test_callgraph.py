@@ -89,3 +89,21 @@ m.hash(42);
     stubs = [n for n in cpg.nodes if n.label == "METHOD"
              and n.full_name == "crypto:hash"]
     assert len(stubs) == 1 and stubs[0].is_external
+
+
+# passes/base/NamespaceCreator.scala:18-26
+def test_namespace_aggregation_nodes():
+    """One NAMESPACE node per distinct NAMESPACE_BLOCK name; each block
+    REFs its namespace (NamespaceCreator.scala:18-26)."""
+    from joern_spark.cpg.build import build_cpg
+
+    cpg = build_cpg(
+        "namespace A { let x = 1; } namespace B { let y = 2; } "
+        "namespace A { let z = 3; }", "f.ts")
+    blocks = [n for n in cpg.nodes if n.label == "NAMESPACE_BLOCK"]
+    spaces = {n.name: n for n in cpg.nodes if n.label == "NAMESPACE"}
+    # dedup: two `namespace A` blocks, ONE NAMESPACE named A
+    assert sorted(spaces) == ["<global>", "A", "B"]
+    for b in blocks:
+        refs = [e.dst for e in cpg.out(b, "REF")]
+        assert refs == [spaces[b.name]], b.name

@@ -202,6 +202,53 @@ def test_merge_upsert_semantics(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_merge_upsert_prunes_untouched_buckets(spark):
+    """A merge must rewrite ONLY the key_bucket partitions its updates
+    touch — untouched bucket directories stay byte-identical (the
+    partition-pruned stand-in for Iceberg merge-on-read)."""
+    import glob
+    import hashlib
+    import os
+
+    from joern_spark.streaming.merge import merge_upsert
+
+    base = tempfile.mkdtemp(prefix="mergeprune_")
+    target = os.path.join(base, "t")
+
+    def snapshot():
+        out = {}
+        for p in glob.glob(os.path.join(target, "key_bucket=*", "*.parquet")):
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, target)] = hashlib.md5(f.read()).hexdigest()
+        return out
+
+    try:
+        initial = spark.createDataFrame(
+            [(f"w{i}", "qa", i) for i in range(50)],
+            ["window_start", "query_name", "n_matches"])
+        merge_upsert(spark, target, initial, ["window_start", "query_name"])
+        before = snapshot()
+        updates = spark.createDataFrame(
+            [("w1", "qa", 100)], ["window_start", "query_name", "n_matches"])
+        merge_upsert(spark, target, updates, ["window_start", "query_name"])
+        after = snapshot()
+        touched = {k for k in before if before[k] != after.get(k)}
+        gone = {k for k in before if k not in after}
+        changed_buckets = {k.split("/")[0] for k in touched | gone
+                           | {k for k in after if k not in before}}
+        assert len(changed_buckets) == 1, changed_buckets
+        # every other bucket's files are byte-identical
+        untouched = {k for k in before if k.split("/")[0] not in changed_buckets}
+        assert untouched and all(before[k] == after[k] for k in untouched)
+        # and the merge semantics still hold
+        got = {(r.window_start, r.query_name): r.n_matches
+               for r in spark.read.parquet(target).collect()}
+        assert got[("w1", "qa")] == 100 and got[("w2", "qa")] == 2
+        assert len(got) == 50
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_compaction_matches_read_results(spark, corpus_dir):
     """compact_findings folds epoch history into a current-state table whose
     content equals the latest-wins read path; the epoch data files are
