@@ -34,6 +34,35 @@ def _ts_type_full(ts_type):
         return "__ecma.Array"
     return TS_BUILTIN_TYPES.get(ts_type, ANY)
 
+
+# typeFor (TypeHelper.scala:59-80): keyword types map to __ecma.*; type
+# REFERENCES keep their raw annotation text (resolved later by
+# XTypeRecovery).  Distinct from _ts_type_full, which is the
+# typeFullName-if-builtin-else-ANY rule.
+TS_KEYWORD_TYPES = {
+    "boolean": "__ecma.Boolean", "bigint": "__ecma.Number",
+    "null": "__ecma.Null", "number": "__ecma.Number",
+    "object": "__ecma.Object", "string": "__ecma.String",
+    "symbol": "__ecma.Symbol", "Number": "__ecma.Number",
+    "String": "__ecma.String",
+    "unknown": ANY, "void": ANY, "undefined": ANY, "never": ANY, "any": ANY,
+}
+
+JS_BUILTIN_FULL = {
+    "ANY", "__ecma.Array", "__ecma.Number", "__ecma.String",
+    "__ecma.Boolean", "__ecma.Null", "__ecma.Math", "__ecma.Symbol",
+    "__whatwg.console", "__ecma.Object", "__ecma.BigInt",
+}
+
+
+def ts_annotation_full(ts_type):
+    """typeFor equivalent over our captured annotation text."""
+    if not ts_type:
+        return None
+    if ts_type.endswith("[]"):
+        return "__ecma.Array"
+    return TS_KEYWORD_TYPES.get(ts_type, ts_type)
+
 OPERATORS = {
     "=": "<operator>.assignment",
     "+=": "<operator>.assignmentPlus",
@@ -252,10 +281,16 @@ class ScopeManager:
 class AstLowerer:
     """One instance per document (mirrors jssrc2cpg AstCreator)."""
 
-    def __init__(self, src: str, filename: str = "script.js"):
+    def __init__(self, src: str, filename: str = "script.js",
+                 cpg: Cpg | None = None):
         self.src = src
         self.filename = filename
-        self.cpg = Cpg(filename)
+        # multi-file projects lower every file into ONE shared graph (the
+        # reference CPG holds all compilation units of a project)
+        self.cpg = cpg if cpg is not None else Cpg(filename)
+        # watermark: finalization passes only touch nodes this lowerer adds
+        # (multi-file projects share one Cpg)
+        self._node_start = len(self.cpg.nodes)
         self.scope = ScopeManager(self.cpg)
         self.method_parent_stack: list[Node] = []
         self.local_parent_stack: list[Node] = []
@@ -311,7 +346,11 @@ class AstLowerer:
                     dispatch_type=dispatch, type_full_name=ANY, line=line, column=column)
 
     def identifier_node(self, js, name: str) -> Node:
-        return Node("IDENTIFIER", name=name, code=name, type_full_name=ANY, **self._pos(js))
+        # console/Math get a dynamic instance type hint at creation time
+        # (AstNodeBuilder.scala:148-155) — seed data for XTypeRecovery.
+        hint = {"console": ("__whatwg.console",), "Math": ("__ecma.Math",)}.get(name, ())
+        return Node("IDENTIFIER", name=name, code=name, type_full_name=ANY,
+                    dynamic_type_hint_full_name=hint, **self._pos(js))
 
     def literal_node(self, js, code: str, type_full_name: str = ANY) -> Node:
         return Node("LITERAL", code=code, type_full_name=type_full_name, **self._pos(js))
@@ -733,9 +772,30 @@ class AstLowerer:
         return cur_ast
 
     def _ast_tsas_expression(self, js) -> Ast:
-        """TS `expr as Type`: pass-through to the inner expression (the
-        declarator/statement span keeps the cast text)."""
+        """TS `expr as Type` → <operator>.cast(TypeLiteral, expr) with
+        possibleTypes=[Type] (astForCastExpression,
+        AstForExpressionsCreator.scala:227-236)."""
+        return self._cast_call_ast(js)
+
+    def _ast_tstype_assertion(self, js) -> Ast:
+        """TS `<Type>expr` — same cast lowering as `as`."""
+        return self._cast_call_ast(js)
+
+    def _ast_tssatisfies_expression(self, js) -> Ast:
+        """`expr satisfies T` is a pure compile-time check: pass-through
+        (TsAstCreationPassTests.scala:121-128 asserts direct arguments)."""
         return self.ast_for_node_with_fref(js["expression"])
+
+    def _cast_call_ast(self, js) -> Ast:
+        tpe = ts_annotation_full(js.get("ts_type"))
+        possible = (tpe,) if tpe else ()
+        lhs = Ast(Node("LITERAL", code=js.get("ts_type") or "<empty>",
+                       type_full_name=ANY, possible_types=possible,
+                       **self._pos(js)))
+        rhs = self.ast_for_node_with_fref(js["expression"])
+        call = self.call_node(js, self.code_of_node(js), "<operator>.cast", STATIC)
+        call.possible_types = possible
+        return self.call_ast(call, [lhs, rhs])
 
     def _ast_tsnon_null_expression(self, js) -> Ast:
         """astForTSNonNullExpression: `expr!` → <operator>.notNullAssert."""
@@ -955,6 +1015,13 @@ class AstLowerer:
         declarator_code = f"{kind} {self.code_of_node(decl)}"
         id_name = idj.get("name", self.code_of_node(idj))
         local = self.local_node(decl, id_name)
+        # `let x: T` — typeFullName if T is builtin, possibleTypes always
+        # (AstForDeclarationsCreator.scala:585-591)
+        anno = ts_annotation_full(decl.get("ts_type"))
+        if anno:
+            local.possible_types = (anno,)
+            if anno in JS_BUILTIN_FULL and anno != ANY:
+                local.type_full_name = anno
         # let is block-scoped; var AND const are MethodScope in the
         # reference (AstForDeclarationsCreator.scala:306-307)
         self.scope.add_variable(id_name, local, function_scoped=(kind != "let"))
@@ -1245,7 +1312,10 @@ class AstLowerer:
         self.scope.pop()
         self.method_parent_stack.pop()
 
-        ret_node = Node("METHOD_RETURN", code="RET", type_full_name=ANY, **self._pos(js))
+        ret_anno = ts_annotation_full(js.get("return_type"))
+        ret_node = Node("METHOD_RETURN", code="RET", type_full_name=ANY,
+                        possible_types=(ret_anno,) if ret_anno else (),
+                        **self._pos(js))
         m_ast = Ast(method)
         for p in [this_param] + params:
             m_ast.with_child(Ast(p))
@@ -1343,11 +1413,13 @@ class AstLowerer:
                         Ast(lp), access, f"{ename} = {_code_of(access.root)}", line, col))
             else:  # Identifier
                 pname = p.get("name", self.code_of_node(p))
-                ts = {"string": "__ecma.String", "number": "__ecma.Number",
-                      "boolean": "__ecma.Boolean"}.get(p.get("ts_type"), ANY)
+                anno = ts_annotation_full(p.get("ts_type"))
+                ts = anno if (anno in JS_BUILTIN_FULL and anno != ANY) else ANY
                 node = Node("METHOD_PARAMETER_IN", name=pname, code=self.code_of_node(p),
                             index=index, order=index, evaluation_strategy="BY_VALUE",
-                            type_full_name=ts, **self._pos(p))
+                            type_full_name=ts,
+                            possible_types=(anno,) if anno else (),
+                            **self._pos(p))
                 if p.get("decorators"):
                     self.cpg.add_node(node)
                     self._attach_annotations(node, p["decorators"])
@@ -1514,7 +1586,8 @@ class AstLowerer:
         # resolve closure callees locally, if possible
         if callee["type"] in ("FunctionExpression", "ArrowFunctionExpression",
                               "FunctionDeclaration"):
-            key = f"{callee['start']}:{callee['end']}"
+            cid = callee.get("id", {}).get("name", "") if callee.get("id") else ""
+            key = f"{callee['start']}:{callee['end']}:{cid}"
             if key in self.function_key_to_name:
                 n, fn = self.function_key_to_name[key]
                 call.name, call.method_full_name = n, fn
@@ -2460,15 +2533,17 @@ class AstLowerer:
         TypeEval/TypeRefPass (TypeEvalPass.scala:9-12, TypeRefPass.scala:9-12):
         TYPE nodes per used typeFullName, EVAL_TYPE from expressions, REF from
         TYPE to a matching TYPE_DECL."""
-        file_node = next((n for n in self.cpg.nodes if n.label == "FILE"), None)
+        file_node = next((n for n in self._own_nodes()
+                          if n.label == "FILE" and n.name == self.filename), None)
         if file_node is not None:
-            for n in self.cpg.nodes:
+            for n in self._own_nodes():
                 if n.label in ("METHOD", "TYPE_DECL", "NAMESPACE_BLOCK") and n.filename:
                     self.cpg.add_edge(n, file_node, "SOURCE_FILE")
         # TYPE nodes for every non-ANY typeFullName in use
-        type_nodes: dict[str, Node] = {}
+        type_nodes: dict[str, Node] = {n.full_name: n for n in self.cpg.nodes
+                                       if n.label == "TYPE"}
         decls = {n.full_name: n for n in self.cpg.nodes if n.label == "TYPE_DECL"}
-        for n in list(self.cpg.nodes):
+        for n in list(self._own_nodes()):
             t = n.type_full_name
             if not t or t == "ANY" or not n.is_expression:
                 continue
@@ -2481,10 +2556,16 @@ class AstLowerer:
                     self.cpg.add_edge(tn, decls[t], "REF")
             self.cpg.add_edge(n, tn, "EVAL_TYPE")
 
+    def _own_nodes(self):
+        return self.cpg.nodes[self._node_start:]
+
+    def _own_methods(self):
+        return [n for n in self._own_nodes() if n.label == "METHOD"]
+
     def _add_contains_edges(self):
         """ContainsEdgePass: METHOD -CONTAINS-> every AST node within the
         method body, not descending into nested methods/type decls."""
-        for method in self.cpg.methods():
+        for method in self._own_methods():
             stack = [c for c in self.cpg.ast_children(method)]
             while stack:
                 n = stack.pop()
@@ -2496,7 +2577,7 @@ class AstLowerer:
     def _link_parameter_outs(self):
         """MethodDecoratorPass: METHOD_PARAMETER_OUT + PARAMETER_LINK per
         input parameter."""
-        for method in self.cpg.methods():
+        for method in self._own_methods():
             m_ast_children = self.cpg.ast_children(method)
             for p in m_ast_children:
                 if p.label != "METHOD_PARAMETER_IN":
@@ -2540,3 +2621,13 @@ def lower_js(src: str, filename: str = "script.js") -> Cpg:
     """Parse + lower one JS document to a CPG (AST layer only — CFG/DDG are
     added by cfg.py / reachingdef.py)."""
     return AstLowerer(src, filename).create()
+
+
+def lower_js_files(files: list[tuple[str, str]]) -> Cpg:
+    """Lower a multi-file project ((filename, src) pairs) into ONE CPG —
+    the reference graph holds every compilation unit, which is what
+    cross-file import resolution and the multi-file reference tests need."""
+    cpg = Cpg(files[0][0] if files else "script.js")
+    for filename, src in files:
+        AstLowerer(src, filename, cpg=cpg).create()
+    return cpg

@@ -17,8 +17,8 @@ from joern_spark.cpg.core import Cpg
 from joern_spark.cpg.dominators import add_cdg, add_dominators
 from joern_spark.cpg.passes import (
     create_method_stubs, create_namespaces, link_calls, link_dynamic_calls,
-    recover_types,
 )
+from joern_spark.cpg.typerec import run_type_recovery
 from joern_spark.cpg.reachingdef import add_reaching_defs
 from joern_spark.cpg.semantics import Semantics, default_semantics
 
@@ -26,15 +26,57 @@ _SEMANTICS = default_semantics()
 
 
 def build_cpg(src: str, filename: str = "script.js",
-              semantics: Semantics | None = None) -> Cpg:
+              semantics: Semantics | None = None,
+              post_process: bool = True) -> Cpg:
+    """post_process=True mirrors joern-cli production (frontend overlays +
+    jssrc post-processing).  post_process=False is the JsSrc2CpgSuite /
+    JsSrcCfgTestCpg fixture (frontend only) — the reference's AST/CFG
+    goldens are written against that, e.g. closure names before
+    ConstClosurePass renames them."""
     if sys.getrecursionlimit() < 20000:
         sys.setrecursionlimit(20000)
     cpg = lower_js(src, filename)
     create_namespaces(cpg)   # NamespaceCreator (A5, Base overlay)
     create_method_stubs(cpg)
-    recover_types(cpg)       # XTypeRecovery subset (A19)
+    if post_process:
+        # jssrc2cpg post-processing (package.scala:10-15): ConstClosure →
+        # ImportResolver → XTypeRecovery ×2 → TypeHintCallLinker →
+        # ObjectPropertyCallLinker (A19, full port in typerec.py)
+        run_type_recovery(cpg)
     link_dynamic_calls(cpg)  # CHA (DynamicCallLinker, A15)
     link_calls(cpg)          # static + naive/closure fallback (skips linked)
+    add_cfg(cpg)
+    ipdoms = add_dominators(cpg)
+    add_cdg(cpg, ipdoms)
+    add_reaching_defs(cpg, semantics or _SEMANTICS)
+    return cpg
+
+
+def build_cpg_frontend(src: str, filename: str = "script.js",
+                       semantics: Semantics | None = None) -> Cpg:
+    """Frontend-only fixture (JsSrc2CpgSuite / JsSrcCfgTestCpg): no
+    post-processing passes — what the reference AST/CFG goldens assert."""
+    return build_cpg(src, filename, semantics, post_process=False)
+
+
+def build_cpg_files(files: list[tuple[str, str]],
+                    semantics: Semantics | None = None,
+                    post_process: bool = True) -> Cpg:
+    """Multi-file project build: every (filename, src) pair lowered into ONE
+    graph, then the same overlay order as build_cpg.  This is the `code(...)
+    .moreCode(...)` test fixture and the shape cross-file import resolution
+    (XImportResolverPass) needs."""
+    from joern_spark.cpg.astlower import lower_js_files
+
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
+    cpg = lower_js_files(files)
+    create_namespaces(cpg)
+    create_method_stubs(cpg)
+    if post_process:
+        run_type_recovery(cpg)
+    link_dynamic_calls(cpg)
+    link_calls(cpg)
     add_cfg(cpg)
     ipdoms = add_dominators(cpg)
     add_cdg(cpg, ipdoms)

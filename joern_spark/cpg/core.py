@@ -65,7 +65,7 @@ class Node:
         "evaluation_strategy", "index", "is_external", "canonical_name",
         "modifier_type", "is_variadic", "signature", "filename", "start", "end",
         "closure_binding_id", "imported_entity", "imported_as", "version",
-        "dependency_group_id",
+        "dependency_group_id", "dynamic_type_hint_full_name", "possible_types",
     )
 
     def __init__(self, label: str, **kw):
@@ -99,6 +99,10 @@ class Node:
         self.imported_as = kw.get("imported_as")
         self.version = kw.get("version", "")
         self.dependency_group_id = kw.get("dependency_group_id", "")
+        # XTypeRecovery properties: ordered, duplicate-free type hints
+        # (DYNAMIC_TYPE_HINT_FULL_NAME / POSSIBLE_TYPES in the schema)
+        self.dynamic_type_hint_full_name = tuple(kw.get("dynamic_type_hint_full_name", ()))
+        self.possible_types = tuple(kw.get("possible_types", ()))
 
     # label predicates -------------------------------------------------------
     @property

@@ -211,6 +211,7 @@ class Parser:
         self.src = src
         self.toks = tokenize(src)
         self.pos = 0
+        self.last_return_type = None  # set by parse_params
 
     # --- token helpers -----------------------------------------------------
     def peek(self, k=0) -> Token:
@@ -267,6 +268,17 @@ class Parser:
     def parse_statement(self):
         t = self.peek()
         v, k = t.value, t.kind
+        if k == "punct" and v == "@":
+            # class decorators: `@dec ... class X {}` / `@dec export class X {}`
+            decorators = self._parse_decorators()
+            stmt = self.parse_statement()
+            target = stmt
+            if target.get("type") in ("ExportNamedDeclaration",
+                                      "ExportDefaultDeclaration"):
+                target = target.get("declaration") or target
+            if target.get("type") in ("ClassDeclaration", "ClassExpression"):
+                target["decorators"] = decorators
+            return stmt
         if k == "punct" and v == "{":
             return self.parse_block()
         if k == "punct" and v == ";":
@@ -445,13 +457,14 @@ class Parser:
         decls = []
         while True:
             decl_id = self.parse_binding_target()
-            self._opt_type_annotation()
+            ts_type = self._opt_type_annotation()
             init = None
             if self.opt("="):
                 init = self.parse_assignment()
             end = init.get("paren_end", init["end"]) if init else decl_id["end"]
             decls.append(
-                self.node("VariableDeclarator", decl_id["start"], end, id=decl_id, init=init)
+                self.node("VariableDeclarator", decl_id["start"], end, id=decl_id, init=init,
+                          ts_type=ts_type)
             )
             if not self.opt(","):
                 break
@@ -550,6 +563,7 @@ class Parser:
         if self.peek().kind == "id":
             fid = self.parse_identifier()
         params = self.parse_params()
+        return_type = self.last_return_type
         if self.at("{"):
             body = self.parse_block()
             end = body["end"]
@@ -560,7 +574,7 @@ class Parser:
             self.semicolon()
         typ = "FunctionDeclaration" if is_declaration and fid else "FunctionExpression"
         return self.node(typ, start if start is not None else kw.start, end,
-                         id=fid, params=params, body=body,
+                         id=fid, params=params, body=body, return_type=return_type,
                          generator=False, **{"async": False})
 
     def _skip_type_annotation(self):
@@ -611,10 +625,13 @@ class Parser:
         return None
 
     def _parse_decorators(self):
-        """`@a.b.c(args)` decorator list; returns [{code,name,full,start,end}]."""
+        """`@a.b.c(args)` decorator list; returns
+        [{code,name,full,start,end,expr}] where `expr` is the parsed
+        decorator expression (used by the __decorate lowering)."""
         out = []
         while self.at("@"):
             at_tok = self.eat("@")
+            save = self.pos
             parts = [self.eat().value]
             while self.at("."):
                 self.eat(".")
@@ -631,9 +648,19 @@ class Parser:
                         if depth == 0:
                             break
                 end = self.toks[self.pos - 1].end
+            stop = self.pos
+            # re-parse the decorator body as a real expression for lowering
+            expr = None
+            try:
+                self.pos = save
+                expr = self.parse_call_member()
+            except ParseError:
+                expr = None
+            finally:
+                self.pos = stop
             out.append({"code": self.src[at_tok.start:end],
                         "name": parts[-1], "full": ".".join(parts),
-                        "start": at_tok.start, "end": end})
+                        "start": at_tok.start, "end": end, "expr": expr})
         return out
 
     def _parse_type_members(self):
@@ -726,8 +753,9 @@ class Parser:
             if not self.opt(","):
                 break
         self.eat(")")
-        # TS return-type annotation `): T` (before `=>` or `{`)
-        self._opt_type_annotation()
+        # TS return-type annotation `): T` (before `=>` or `{`); stashed on
+        # the parser for the enclosing function node to pick up
+        self.last_return_type = self._opt_type_annotation()
         return params
 
     def parse_class(self, is_declaration: bool):
@@ -811,7 +839,7 @@ class Parser:
                     self.node("ClassProperty", mstart, end, key=key, value=value,
                               static=static, computed=False,
                               ts_modifiers=ts_mods, private_name=is_private_name,
-                              ts_type=prop_type)
+                              ts_type=prop_type, decorators=decorators)
                 )
         rb = self.eat("}")
         body = self.node("ClassBody", lb.start, rb.end, body=members)
@@ -1149,11 +1177,17 @@ class Parser:
         while ((self.peek().kind == "kw" and self.peek().value == "as")
                or (self.peek().kind == "id" and self.peek().value == "satisfies")
                ) and not self.peek().nl_before:
-            self.eat()
+            kw_tok = self.eat()
+            t0 = self.peek().start
             self._skip_type_annotation()
             end = self.toks[self.pos - 1].end
-            left = self.node("TSAsExpression", left["start"], end,
-                             expression=left)
+            # `as` is a cast (TSAsExpression → <operator>.cast); `satisfies`
+            # is a pure compile-time check (pass-through, TsAst golden
+            # asserts x,y as direct assignment arguments)
+            typ = "TSAsExpression" if kw_tok.value == "as" else "TSSatisfiesExpression"
+            left = self.node(typ, left["start"], end,
+                             expression=left,
+                             ts_type=self.src[t0:end].strip())
         while True:
             t = self.peek()
             op = t.value
@@ -1372,6 +1406,7 @@ class Parser:
                 # TS type assertion `<T>expr`: skip the balanced <...>,
                 # parse the asserted expression (pass-through)
                 self.eat("<")
+                t0 = self.peek().start
                 depth = 1
                 while depth > 0 and self.peek().kind != "eof":
                     v = self.eat().value
@@ -1379,9 +1414,11 @@ class Parser:
                         depth += 1
                     elif v == ">":
                         depth -= 1
+                t1 = self.toks[self.pos - 1].start  # before closing `>`
                 expr = self.parse_unary()
                 return self.node("TSTypeAssertion", t.start, expr["end"],
-                                 expression=expr)
+                                 expression=expr,
+                                 ts_type=self.src[t0:t1].strip())
             # re-sync the token cursor past the element
             while self.pos < len(self.toks) and self.toks[self.pos].start < end:
                 self.pos += 1

@@ -4,7 +4,7 @@ TRY_*/CATCH/FINALLY edge structure."""
 
 from __future__ import annotations
 
-from joern_spark.cpg.build import build_cpg
+from joern_spark.cpg.build import build_cpg_frontend as build_cpg
 from tests.ast_helpers import (
     ast_children, child_codes, condition_codes, control_structures, out_nodes,
 )

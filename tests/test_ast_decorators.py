@@ -4,7 +4,7 @@ class-decorator lowering remains TS-frontend scope.)"""
 
 from __future__ import annotations
 
-from joern_spark.cpg.build import build_cpg
+from joern_spark.cpg.build import build_cpg_frontend as build_cpg
 from joern_spark.query.cpgql import Q
 
 

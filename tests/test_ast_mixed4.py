@@ -3,7 +3,7 @@ destructuring AST shapes, spread arguments, await/instanceof/delete)."""
 
 from __future__ import annotations
 
-from joern_spark.cpg.build import build_cpg
+from joern_spark.cpg.build import build_cpg_frontend as build_cpg
 from joern_spark.query.cpgql import Q
 
 

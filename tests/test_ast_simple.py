@@ -4,7 +4,7 @@ reference test harness names the file Test0.js, ours script.js."""
 
 from __future__ import annotations
 
-from joern_spark.cpg.build import build_cpg
+from joern_spark.cpg.build import build_cpg_frontend as build_cpg
 from joern_spark.query.cpgql import Q
 
 FN = "script.js"  # reference fixture: Test0.js

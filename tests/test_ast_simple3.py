@@ -3,7 +3,7 @@ params/rest, lambda full names, this, call shapes incl. chained calls)."""
 
 from __future__ import annotations
 
-from joern_spark.cpg.build import build_cpg
+from joern_spark.cpg.build import build_cpg_frontend as build_cpg
 from joern_spark.query.cpgql import Q
 
 FN = "script.js"  # reference fixture: Test0.js

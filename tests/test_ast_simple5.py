@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from joern_spark.cpg.build import build_cpg
+from joern_spark.cpg.build import build_cpg_frontend as build_cpg
 from joern_spark.query.cpgql import Q
 
 FN = "script.js"

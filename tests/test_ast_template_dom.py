@@ -3,7 +3,7 @@ nodes for JSX (JSXElement / JSXExpressionContainer parent chains)."""
 
 from __future__ import annotations
 
-from joern_spark.cpg.build import build_cpg
+from joern_spark.cpg.build import build_cpg_frontend as build_cpg
 
 
 def _parent_dom(cpg, n):

@@ -4,7 +4,7 @@ declare functions, TS modules, import-equals)."""
 
 from __future__ import annotations
 
-from joern_spark.cpg.build import build_cpg
+from joern_spark.cpg.build import build_cpg_frontend as build_cpg
 from joern_spark.query.cpgql import Q
 
 FN = "script.js"  # reference fixture: Test0.ts

@@ -5,7 +5,7 @@ cited per test) in the style of `succOf(code) shouldBe ((code, EdgeKind))`.
 
 from __future__ import annotations
 
-from joern_spark.cpg.build import build_cpg
+from joern_spark.cpg.build import build_cpg_frontend as build_cpg
 
 
 from tests.cfg_helpers import succ_pairs as succ_of  # noqa: E402

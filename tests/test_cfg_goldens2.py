@@ -6,7 +6,7 @@ on CFG edges), so these assert code sets.
 
 from __future__ import annotations
 
-from joern_spark.cpg.build import build_cpg
+from joern_spark.cpg.build import build_cpg_frontend as build_cpg
 
 
 from tests.cfg_helpers import succ_codes as succ  # noqa: E402

@@ -4,7 +4,7 @@ compares — `expected()` ignores edge kinds, codes only)."""
 
 from __future__ import annotations
 
-from joern_spark.cpg.build import build_cpg
+from joern_spark.cpg.build import build_cpg_frontend as build_cpg
 from tests.cfg_helpers import succ_codes as succ
 
 
