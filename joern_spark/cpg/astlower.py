@@ -1963,6 +1963,8 @@ class AstLowerer:
         TS_TYPES = {"string": "__ecma.String", "number": "__ecma.Number",
                     "boolean": "__ecma.Boolean"}
 
+        annotate_members = []  # (MEMBER node, decorators) attached post-store
+
         def add_member(key_name, member, static=False):
             mem = Node("MEMBER", name=_strip_quotes(key_name),
                        code=self.code_of_node(member),
@@ -1970,6 +1972,8 @@ class AstLowerer:
                        if isinstance(member, dict) else ANY,
                        **self._pos(member))
             td_ast.with_child(Ast(mem))
+            if isinstance(member, dict) and member.get("decorators"):
+                annotate_members.append((mem, member["decorators"]))
             mods = []
             if static:
                 mods.append("STATIC")
@@ -2156,12 +2160,226 @@ class AstLowerer:
                 self.cpg.add_edge(ctor_ref, ctor, "REF")
             id_node = self.identifier_node(js, name)
             self.scope.add_reference(name, id_node)
-            return self.assignment_call(
+            class_assign = self.assignment_call(
                 Ast(id_node), Ast(ctor_ref), f"class {name}",
                 self.line_of(js["start"]), self.col_of(js["start"]))
+            # TS decorators (AstForTypesCreator.scala:540-566): ANNOTATION
+            # nodes on the TYPE_DECL / MEMBERs, plus the Babel __decorate
+            # desugar — one `Name = __decorate([...], Name)` assignment for
+            # class decorators, one `__decorate([...], Name.prototype,
+            # 'prop', void 0)` call per decorated property
+            for mem, decs in annotate_members:
+                self._attach_annotations(mem, decs)
+            class_decs = js.get("decorators") or []
+            decorated_props = [m for m in js["body"]["body"]
+                               if m["type"] == "ClassProperty" and m.get("decorators")]
+            decorated_methods = [
+                m for m in js["body"]["body"]
+                if m["type"] == "ClassMethod"
+                and (m.get("decorators")
+                     or any(isinstance(p, dict) and p.get("decorators")
+                            for p in m.get("params", [])))]
+            if class_decs:
+                self._attach_annotations(td, class_decs)
+            if class_decs or decorated_props or decorated_methods:
+                stmts = [class_assign]
+                if class_decs:
+                    stmts.append(self._class_decoration_ast(js, name, ctor_full,
+                                                            class_decs))
+                for m in decorated_props:
+                    stmts.append(self._property_decoration_ast(js, m, name))
+                for m in decorated_methods:
+                    stmts.append(self._method_decoration_ast(js, m, name))
+                return Ast(self.block_node(js, self.code_of_node(js))).with_children(stmts)
+            return class_assign
         type_ref = Node("TYPE_REF", code=f"class {name}", type_full_name=td.full_name,
                         **self._pos(js))
+        for mem, decs in annotate_members:
+            self._attach_annotations(mem, decs)
+        if js.get("decorators"):
+            self._attach_annotations(td, js["decorators"])
         return Ast(type_ref)
+
+    def _decorator_exprs(self, decorators):
+        """Lowered decorator expression asts (skipping any that failed to
+        re-parse) and their source codes (the `@`-less decorator text).
+        Elements are lowered BEFORE the decorate-array tmp is allocated —
+        the reference's astForDecorateArray receives pre-lowered asts, so
+        nested arrays (e.g. design:paramtypes) number their _tmp first."""
+        asts, codes = [], []
+        for d in decorators:
+            if d.get("expr") is not None:
+                asts.append(self.ast_for_node_with_fref(d["expr"]))
+                codes.append(d["code"][1:] if d["code"].startswith("@") else d["code"])
+        return asts, codes
+
+    def _decorate_array_ast(self, js, elem_asts) -> Ast:
+        """astForDecorateArray (AstForTypesCreator.scala:934-980): the
+        array-factory/push block over PRE-LOWERED element asts."""
+        block = self.block_node(js, self.code_of_node(js))
+        self.scope.push_block()
+        self.local_parent_stack.append(block)
+        tmp = self.unused_name("_tmp")
+        local = self.local_node(js, tmp)
+        tmp_node = self.identifier_node(js, tmp)
+        self.cpg.add_node(local)
+        self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")
+        self.scope.add_variable(tmp, local)
+        self.scope.add_reference(tmp, tmp_node)
+        factory = self.call_node(js, f"{ARRAY_FACTORY}()", ARRAY_FACTORY, STATIC)
+        line, col = self.line_of(js["start"]), self.col_of(js["start"])
+        assign = self.assignment_call(Ast(tmp_node), Ast(factory),
+                                      f"{tmp} = {ARRAY_FACTORY}()", line, col)
+        pushes = []
+        for ea in elem_asts:
+            elem_code = _code_of(ea.root) if ea.root else "<empty>"
+            push_call = self.call_node_at(f"{tmp}.push({elem_code})", "",
+                                          DYNAMIC, line, col)
+            base = self.identifier_node(js, tmp)
+            self.scope.add_reference(tmp, base)
+            member = self.field_identifier_node(js, "push")
+            receiver = self.field_access_call(Ast(base), member, line, col)
+            this_push = self.identifier_node(js, tmp)
+            self.scope.add_reference(tmp, this_push)
+            pushes.append(self.call_ast(push_call, [ea], base=Ast(this_push),
+                                        receiver=receiver))
+        ret = self.identifier_node(js, tmp)
+        self.scope.add_reference(tmp, ret)
+        self.local_parent_stack.pop()
+        self.scope.pop()
+        return Ast(block).with_children([assign] + pushes + [Ast(ret)])
+
+    def _decorate_call_ast(self, js, args, code: str) -> Ast:
+        """`__decorate(...)` dynamic call with receiver `__decorate` and
+        base `this` (createClassDecorationAst / createPropertyDecorationAsts,
+        AstForTypesCreator.scala:572-621, 773-832)."""
+        recv = self.identifier_node(js, "__decorate")
+        self.scope.add_reference("__decorate", recv)
+        this_node = self.identifier_node(js, "this")
+        program_td = next((n for n in self.cpg.nodes if n.label == "TYPE_DECL"
+                           and n.name == ":program"), None)
+        if program_td is not None:
+            this_node.dynamic_type_hint_full_name = (program_td.full_name,)
+        self.scope.add_reference("this", this_node)
+        call = self.call_node(js, code, "__decorate", DYNAMIC)
+        return self.call_ast(call, args, base=Ast(this_node), receiver=Ast(recv))
+
+    def _class_decoration_ast(self, js, name: str, ctor_full: str,
+                              decorators) -> Ast:
+        dec_asts, codes = self._decorator_exprs(decorators)
+        arr_ast = self._decorate_array_ast(js, dec_asts)
+        code = f"__decorate([{','.join(codes)}], {name})"
+        class_ref = self.identifier_node(js, name)
+        class_ref.dynamic_type_hint_full_name = (ctor_full,)
+        self.scope.add_reference(name, class_ref)
+        dec_call = self._decorate_call_ast(js, [arr_ast, Ast(class_ref)], code)
+        lhs = self.identifier_node(js, name)
+        lhs.dynamic_type_hint_full_name = (ctor_full,)
+        self.scope.add_reference(name, lhs)
+        return self.assignment_call(
+            Ast(lhs), dec_call, f"{name} = {code}",
+            self.line_of(js["start"]), self.col_of(js["start"]))
+
+    def _class_prototype_access(self, js, class_name: str) -> Ast:
+        line, col = self.line_of(js["start"]), self.col_of(js["start"])
+        base = self.identifier_node(js, class_name)
+        self.scope.add_reference(class_name, base)
+        proto = self.field_identifier_node(js, "prototype")
+        return self.field_access_call(Ast(base), proto, line, col)
+
+    def _property_decoration_ast(self, js, member, class_name: str) -> Ast:
+        dec_asts, codes = self._decorator_exprs(member.get("decorators") or [])
+        arr_ast = self._decorate_array_ast(js, dec_asts)
+        prop_name = _strip_quotes(
+            member["key"].get("name", self.code_of_node(member["key"])))
+        proto_access = self._class_prototype_access(js, class_name)
+        name_lit = Ast(self.literal_node(member, f"'{prop_name}'", "__ecma.String"))
+        void_call = Ast(self.call_node(member, "void 0", "<operator>.void", STATIC))
+        code = (f"__decorate([{','.join(codes)}], "
+                f"{class_name}.prototype, '{prop_name}', void 0)")
+        return self._decorate_call_ast(
+            js, [arr_ast, proto_access, name_lit, void_call], code)
+
+    def _metadata_call_ast(self, member, code: str, arg2: Ast,
+                           key_lit_code: str) -> Ast:
+        """`__metadata(...)` dynamic call (createMetadataCall*Ast,
+        AstForTypesCreator.scala:623-770)."""
+        recv = self.identifier_node(member, "__metadata")
+        self.scope.add_reference("__metadata", recv)
+        this_node = self.identifier_node(member, "this")
+        program_td = next((n for n in self.cpg.nodes if n.label == "TYPE_DECL"
+                           and n.name == ":program"), None)
+        if program_td is not None:
+            this_node.dynamic_type_hint_full_name = (program_td.full_name,)
+        self.scope.add_reference("this", this_node)
+        key_lit = Ast(self.literal_node(member, key_lit_code, "__ecma.String"))
+        call = self.call_node(member, code, "__metadata", DYNAMIC)
+        return self.call_ast(call, [key_lit, arg2], base=Ast(this_node),
+                             receiver=Ast(recv))
+
+    def _method_decoration_ast(self, js, member, class_name: str) -> Ast:
+        """createMethodDecorationAsts (AstForTypesCreator.scala:835-932):
+        __decorate([decs, __param(i, ...)s, __metadata x3],
+        Class.prototype, 'name', null)."""
+        dec_asts, dec_codes = self._decorator_exprs(member.get("decorators") or [])
+        params = [p for p in member.get("params", []) if isinstance(p, dict)]
+        param_asts, param_codes = [], []
+        for idx, p in enumerate(params):
+            p_dec_asts, p_dec_codes = self._decorator_exprs(p.get("decorators") or [])
+            for pa, pc in zip(p_dec_asts, p_dec_codes):
+                code = f"__param({idx}, {pc})"
+                recv = self.identifier_node(p, "__param")
+                self.scope.add_reference("__param", recv)
+                this_node = self.identifier_node(p, "this")
+                program_td = next((n for n in self.cpg.nodes
+                                   if n.label == "TYPE_DECL"
+                                   and n.name == ":program"), None)
+                if program_td is not None:
+                    this_node.dynamic_type_hint_full_name = (program_td.full_name,)
+                self.scope.add_reference("this", this_node)
+                idx_lit = Ast(self.literal_node(p, str(idx), "__ecma.Number"))
+                call = self.call_node(p, code, "__param", DYNAMIC)
+                param_asts.append(self.call_ast(call, [idx_lit, pa],
+                                                base=Ast(this_node),
+                                                receiver=Ast(recv)))
+                param_codes.append(code)
+        # __metadata("design:type", Function)
+        meta1 = self._metadata_call_ast(
+            member, '__metadata("design:type", Function)',
+            Ast(self.literal_node(member, "Function", ANY)), "'design:type'")
+        # __metadata("design:paramtypes", [Object,...]) — one Object literal
+        # per parameter, via the decorate-array block (allocates its _tmp
+        # BEFORE the outer array's, matching the reference numbering)
+        obj_lits = [Ast(self.literal_node(member, "Object", "__ecma.Object"))
+                    for _ in params]
+        paramtypes_code = ("__metadata(\"design:paramtypes\", ["
+                           + ",".join(["Object"] * len(params)) + "])")
+        meta2 = self._metadata_call_ast(
+            member, paramtypes_code, self._decorate_array_ast(member, obj_lits),
+            "'design:paramtypes'")
+        # __metadata("design:type", <returnType>) — key literal is
+        # 'design:returntype' while the CODE says design:type (reference
+        # quirk kept for parity, AstForTypesCreator.scala:750-757)
+        tpe = (ts_annotation_full(member.get("return_type")) or ANY)
+        tpe = tpe[len("__ecma."):] if tpe.startswith("__ecma.") else tpe
+        meta3 = self._metadata_call_ast(
+            member, f'__metadata("design:type", {tpe})',
+            Ast(self.literal_node(member, tpe, ANY)), "'design:returntype'")
+
+        arr_ast = self._decorate_array_ast(
+            js, dec_asts + param_asts + [meta1, meta2, meta3])
+        key_name = member["key"].get("name", self.code_of_node(member["key"]))
+        m_name = "<init>" if (member.get("kind") == "constructor"
+                              or key_name == "constructor") else _strip_quotes(key_name)
+        proto_access = self._class_prototype_access(js, class_name)
+        name_lit = Ast(self.literal_node(member, f"'{m_name}'", "__ecma.String"))
+        null_lit = Ast(self.literal_node(member, "null", "__ecma.Null"))
+        code = (f"__decorate([{','.join(dec_codes)}, {','.join(param_codes)}, "
+                f'__metadata("design:type", Function), {paramtypes_code}, '
+                f'__metadata("design:type", {tpe})], '
+                f"{class_name}.prototype, '{m_name}', null)")
+        return self._decorate_call_ast(
+            js, [arr_ast, proto_access, name_lit, null_lit], code)
 
     def _attach_annotations(self, node: Node, decorators):
         """ANNOTATION nodes for TS decorators (order = 1..n)."""

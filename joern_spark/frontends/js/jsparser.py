@@ -804,6 +804,7 @@ class Parser:
             key = self.parse_property_key()
             if self.at("("):
                 params = self.parse_params()
+                m_return_type = self.last_return_type
                 if self.at("{"):
                     body = self.parse_block()
                     end = body["end"]
@@ -823,7 +824,7 @@ class Parser:
                     self.node("ClassMethod", mstart, end, key=key, params=params,
                               body=body, kind=kind, static=static, computed=False,
                               ts_modifiers=ts_mods, private_name=is_private_name,
-                              decorators=decorators)
+                              decorators=decorators, return_type=m_return_type)
                 )
             else:
                 prop_type = self._opt_type_annotation()
