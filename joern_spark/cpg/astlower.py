@@ -428,7 +428,7 @@ class AstLowerer:
         return self.call_node_at("void 0", "<operator>.void", STATIC, line, column)
 
     # --- entry -------------------------------------------------------------------
-    def create(self) -> Cpg:
+    def create(self, link_inheritance: bool = True) -> Cpg:
         program = parse(self.src)
         file_node = Node("FILE", name=self.filename, code="<empty>", order=0)
         ns = Node("NAMESPACE_BLOCK", name="<global>",
@@ -443,7 +443,13 @@ class AstLowerer:
         self._add_contains_edges()
         self._link_parameter_outs()
         self._add_file_and_type_edges()
-        self._link_inheritance()
+        # multi-file projects defer linking until every file is lowered, so
+        # cross-file supertypes resolve to the real TYPE_DECL, not a stub
+        pending = getattr(self.cpg, "pending_inherits", [])
+        pending.extend(self._pending_inherits)
+        self.cpg.pending_inherits = pending
+        if link_inheritance:
+            self._link_inheritance()
         return self.cpg
 
     def _link_inheritance(self):
@@ -453,7 +459,9 @@ class AstLowerer:
         for n in self.cpg.nodes:
             if n.label == "TYPE_DECL":
                 decls_by_name.setdefault(n.name, n)
-        for child_name, super_name in self._pending_inherits:
+        pending = getattr(self.cpg, "pending_inherits", self._pending_inherits)
+        self.cpg.pending_inherits = []
+        for child_name, super_name in pending:
             if super_name not in decls_by_name:
                 # unknown supertype: external TYPE_DECL stub so the
                 # hierarchy (and inheritsFromTypeFullName) is still recorded
@@ -1552,6 +1560,22 @@ class AstLowerer:
         lhs = self.ast_for_node(left)
         rhs = self.ast_for_node_with_fref(js["right"])
         call = self.call_node(js, self.code_of_node(js), op, STATIC)
+        # `x = require('mod')` without a declaration also gets an IMPORT
+        # (ImportsPassTests.scala:31-46)
+        if (op == "<operator>.assignment" and left.get("type") == "Identifier"):
+            import re as _re
+            _m = _re.search(r'require\((["\'])(.*?)\1\)', self.code_of_node(js["right"]))
+            if _m:
+                req_call = next((n for n in rhs.nodes
+                                 if n.label == "CALL" and n.name == "require"), None)
+                if req_call is not None:
+                    group_id = _m.group(2)
+                    self._create_import_node(
+                        self.code_of_node(js), group_id, left["name"], req_call,
+                        group_name=left["name"], group_id=group_id,
+                        version="require",
+                        line=self.line_of(js["start"]),
+                        col=self.col_of(js["start"]))
         return self.call_ast(call, [lhs, rhs])
 
     _ast_assignment_pattern = _ast_assignment_expression
@@ -2846,6 +2870,10 @@ def lower_js_files(files: list[tuple[str, str]]) -> Cpg:
     the reference graph holds every compilation unit, which is what
     cross-file import resolution and the multi-file reference tests need."""
     cpg = Cpg(files[0][0] if files else "script.js")
+    last = None
     for filename, src in files:
-        AstLowerer(src, filename, cpg=cpg).create()
+        last = AstLowerer(src, filename, cpg=cpg)
+        last.create(link_inheritance=False)
+    if last is not None:
+        last._link_inheritance()  # deferred: resolves across all files
     return cpg

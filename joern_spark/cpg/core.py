@@ -66,6 +66,7 @@ class Node:
         "modifier_type", "is_variadic", "signature", "filename", "start", "end",
         "closure_binding_id", "imported_entity", "imported_as", "version",
         "dependency_group_id", "dynamic_type_hint_full_name", "possible_types",
+        "content",
     )
 
     def __init__(self, label: str, **kw):
@@ -103,6 +104,8 @@ class Node:
         # (DYNAMIC_TYPE_HINT_FULL_NAME / POSSIBLE_TYPES in the schema)
         self.dynamic_type_hint_full_name = tuple(kw.get("dynamic_type_hint_full_name", ()))
         self.possible_types = tuple(kw.get("possible_types", ()))
+        self.content = kw.get("content", "")  # CONFIG_FILE
+
 
     # label predicates -------------------------------------------------------
     @property

@@ -269,6 +269,76 @@ def _method_of(cpg: Cpg, n: Node) -> Optional[Node]:
 
 
 # ---------------------------------------------------------------------------
+# JavaScriptInheritanceNamePass (XInheritanceFullNamePass.scala +
+# jssrc2cpg JavaScriptInheritanceNamePass.scala: pathSep=':',
+# moduleName=':program', fileExt='.js') — resolves short inherited type
+# names against import information, rewriting the external supertype stub
+# to its module-qualified full name.
+# ---------------------------------------------------------------------------
+
+def _names_intersect(a: str, b: str, sep: str = ":") -> bool:
+    aa, bb = a.split(sep), b.split(sep)
+    inter = [x for x in aa if x in bb]
+    return bool(inter) and (aa[-len(inter):] == inter or bb[-len(inter):] == inter)
+
+
+def _combined_path(imported_type: str, imported_path: str, sep: str = ":") -> str:
+    a, b = ((imported_type, imported_path)
+            if len(imported_type) > len(imported_path)
+            else (imported_path, imported_type))
+    aa, bb = a.split(sep), b.split(sep)
+    inter = [x for x in aa if x in bb]
+    if a == imported_path:
+        return sep.join([x for x in bb if x not in inter] + aa)
+    return sep.join([x for x in aa if x not in inter] + bb)
+
+
+def _x_type_full_name(imported_type: str, imported_path: str,
+                      file_ext: str = ".js") -> tuple[str, str]:
+    """`foo:bar:Baz` → ("Baz", "foo/bar.js::program:Baz")
+    (XInheritanceFullNamePass.scala:103-121)."""
+    combined = _combined_path(imported_type, imported_path)
+    t_name = combined.split(":")[-1]
+    prefix = combined.removesuffix(f":{t_name}").replace(":", "/")
+    return t_name, f"{prefix}{file_ext}:{PROGRAM}:{t_name}"
+
+
+def inheritance_full_name_pass(cpg: Cpg):
+    import posixpath
+
+    # imported entities per file (relative path heads normalized)
+    entities_by_file: dict[str, list[str]] = {}
+    for imp in [n for n in cpg.nodes if n.label == "IMPORT"]:
+        ent = imp.imported_entity
+        if not ent:
+            continue
+        prog = cpg.ast_parent(imp)
+        fname = (prog.full_name.split("::")[0]
+                 if prog is not None and prog.label == "METHOD" else cpg.filename)
+        if re.match(r"^[.]+/?.*", ent):
+            parts = ent.split(":")
+            parts[0] = posixpath.normpath(parts[0])
+            ent = ":".join(parts)
+        entities_by_file.setdefault(fname, []).append(ent)
+
+    for td in [n for n in cpg.nodes if n.label == "TYPE_DECL"]:
+        for e in cpg.out(td, "INHERITS_FROM"):
+            stub = e.dst
+            # unresolved external supertype stub: short name == full name
+            if not (stub.is_external and stub.full_name == stub.name
+                    and stub.name not in ("ANY", "object")):
+                continue
+            qualified = [q for q in entities_by_file.get(td.filename, [])
+                         if not q.endswith(PROGRAM)]
+            for qn in qualified:
+                if _names_intersect(qn, stub.name):
+                    t_name, full = _x_type_full_name(qn, stub.name)
+                    stub.name = t_name
+                    stub.full_name = full
+                    break
+
+
+# ---------------------------------------------------------------------------
 # ConstClosurePass (ConstClosurePass.scala) — renames closure methods
 # assigned to constants / exports / single-assignment mutable vars.
 # ---------------------------------------------------------------------------
@@ -1483,6 +1553,7 @@ def object_property_call_linker(cpg: Cpg):
 def run_type_recovery(cpg: Cpg, iterations: int = 2, dummy_types: bool = True):
     """jssrc2cpg postProcessingPasses order (package.scala:10-15), minus
     NaiveCallLinker (run later by passes.link_calls)."""
+    inheritance_full_name_pass(cpg)
     const_closure_pass(cpg)
     resolve_imports_js(cpg)
     for i in range(iterations):

@@ -229,6 +229,10 @@ this.imageElement = new HTMLImageElement();
         assert len(imgs) == 2
         for i in imgs:
             assert i.type_full_name == "__ecma.String"
+        tmps = _identifiers(cpg, "_tmp_0")
+        assert len(tmps) == 3
+        for t in tmps:
+            assert t.type_full_name == "__ecma.HTMLImageElement"
 
 
 # --------------------------------------------------------------------------
@@ -258,6 +262,60 @@ function foo(a: google.More, b: google.Money): google.Problems {
         foo = next(m for m in cpg.methods() if m.name == "foo")
         mr = cpg.method_return(foo)
         assert mr.type_full_name == "googleapis:google:Problems"
+
+
+# --------------------------------------------------------------------------
+# TypeRecoveryPassTests.scala:406-426 "Temporary variables inserted to
+# produce a three-address code structure"
+# --------------------------------------------------------------------------
+def test_three_address_temporaries_recovered():
+    cpg = build_cpg("""
+import { HttpClient } from '@angular/common/http';
+
+@Injectable({
+  providedIn: 'root',
+})
+export class SharedService {
+  private http: HttpClient = new HttpClient();
+  saveUserFeedback(payload) {
+    return this.http.post('https://google.com', payload);
+  }
+}
+""", "foo.ts")
+    tmp0 = _identifiers(cpg, "_tmp_0")
+    assert tmp0 and tmp0[0].type_full_name == "@angular/common/http:HttpClient"
+    posts = _calls(cpg, "post")
+    assert posts and posts[0].method_full_name == \
+        "@angular/common/http:HttpClient:post"
+
+
+# --------------------------------------------------------------------------
+# TypeRecoveryPassTests.scala:428-444 "Members initialized from constructors
+# where the parameter has a type hint"
+# --------------------------------------------------------------------------
+def test_constructor_param_type_hint_recovered():
+    cpg = build_cpg("""
+import { HttpClient } from '@angular/common/http';
+
+@Injectable({
+  providedIn: 'root',
+})
+export class SharedService {
+  constructor(private http: HttpClient) {
+     this.http = http;
+  }
+  saveUserFeedback(payload) {
+    return this.http.post('https://google.com', payload);
+  }
+}
+""", "foo.ts")
+    ctor = next(m for m in cpg.methods()
+                if m.full_name == "foo.ts::program:SharedService:<init>")
+    http = next(p for p in cpg.parameters(ctor) if p.name == "http")
+    assert http.type_full_name == "@angular/common/http:HttpClient"
+    posts = _calls(cpg, "post")
+    assert posts and posts[0].method_full_name == \
+        "@angular/common/http:HttpClient:post"
 
 
 # --------------------------------------------------------------------------
