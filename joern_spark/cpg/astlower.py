@@ -278,6 +278,72 @@ class ScopeManager:
                 self.cpg.captures.append((var_node, m))
 
 
+def vue_parse_source(src: str) -> str:
+    """Same-length parseable source for a Vue SFC: style blocks and HTML
+    comments blanked, `<script ...>`/`</script>` tags blanked (content
+    kept), template kept as JSX with `{{ expr }}` interpolations rewritten
+    in place to `{ expr }` containers — offsets are preserved so every
+    code field still reads the ORIGINAL .vue text (the role astgen's
+    `-t vue` transform plays for the reference)."""
+    out = list(src)
+    n = len(src)
+
+    def blank(a: int, b: int):
+        for k in range(a, min(b, n)):
+            if out[k] != "\n":
+                out[k] = " "
+
+    i = 0
+    while i < n:
+        if src.startswith("<!--", i):
+            j = src.find("-->", i)
+            j = n if j < 0 else j + 3
+            blank(i, j)
+            i = j
+        elif src.startswith("<style", i):
+            j = src.find("</style>", i)
+            j = n if j < 0 else j + len("</style>")
+            blank(i, j)
+            i = j
+        elif src.startswith("<script", i):
+            open_end = src.find(">", i)
+            close = src.find("</script>", i)
+            if open_end < 0 or close < 0:
+                i += 1
+                continue
+            blank(i, open_end + 1)
+            blank(close, close + len("</script>"))
+            i = close + len("</script>")
+        elif src.startswith("<template", i):
+            depth = 0
+            j = i
+            while j < n:
+                if src.startswith("<template", j):
+                    depth += 1
+                    j += len("<template")
+                elif src.startswith("</template>", j):
+                    depth -= 1
+                    j += len("</template>")
+                    if depth == 0:
+                        break
+                else:
+                    j += 1
+            k = i
+            while k < j:
+                if src.startswith("{{", k):
+                    out[k + 1] = " "
+                    m = src.find("}}", k + 2)
+                    if m >= 0 and m < j:
+                        out[m] = " "
+                        k = m + 2
+                        continue
+                k += 1
+            i = j
+        else:
+            i += 1
+    return "".join(out)
+
+
 class AstLowerer:
     """One instance per document (mirrors jssrc2cpg AstCreator)."""
 
@@ -285,6 +351,10 @@ class AstLowerer:
                  cpg: Cpg | None = None):
         self.src = src
         self.filename = filename
+        # Vue SFCs parse a same-length transformed source (script tags and
+        # style/comment sections blanked, {{ }} → JSX containers) while all
+        # code fields still read from the ORIGINAL src via identical offsets
+        self._parse_src = vue_parse_source(src) if filename.endswith(".vue") else src
         # multi-file projects lower every file into ONE shared graph (the
         # reference CPG holds all compilation units of a project)
         self.cpg = cpg if cpg is not None else Cpg(filename)
@@ -429,7 +499,26 @@ class AstLowerer:
 
     # --- entry -------------------------------------------------------------------
     def create(self, link_inheritance: bool = True) -> Cpg:
-        program = parse(self.src)
+        if self.filename.endswith(".vue"):
+            from joern_spark.frontends.js import jsparser as _jsp
+            _jsp.JSX_KEEP_WS_TEXT = True
+            try:
+                program = parse(self._parse_src)
+            finally:
+                _jsp.JSX_KEEP_WS_TEXT = False
+            # astgen's vue transform hoists the script imports above the
+            # template element (VueJsDomAstCreationPassTests identifier
+            # order: imports → template → class → exports)
+            body = program.get("body", [])
+            imports = [s for s in body if s.get("type") == "ImportDeclaration"]
+            templates = [s for s in body
+                         if s.get("type") == "ExpressionStatement"
+                         and s.get("expression", {}).get("type") in
+                         ("JSXElement", "JSXFragment")]
+            rest = [s for s in body if s not in imports and s not in templates]
+            program["body"] = imports + templates + rest
+        else:
+            program = parse(self._parse_src)
         file_node = Node("FILE", name=self.filename, code="<empty>", order=0)
         ns = Node("NAMESPACE_BLOCK", name="<global>",
                   full_name=f"{self.filename}:<global>", filename=self.filename, order=1)
@@ -1383,6 +1472,16 @@ class AstLowerer:
                 node = Node("METHOD_PARAMETER_IN", name=pname, code=self.code_of_node(p),
                             index=index, order=index, evaluation_strategy="BY_VALUE",
                             type_full_name=ANY, **self._pos(p))
+                if t == "ObjectPattern":
+                    # destructured params get a synthesized anonymous type
+                    # (AstForFunctionsCreator.scala:154-161: astForTypeAlias
+                    # over the pattern → <anon-class>N TYPE_DECL)
+                    specs = []
+                    for e in p.get("properties", []):
+                        tgt = e.get("value") if e.get("value") else e.get("key", e)
+                        if isinstance(tgt, dict) and tgt.get("type") == "Identifier":
+                            specs.append((tgt["name"], ANY))
+                    node.type_full_name = self._anon_param_typedecl(p, specs)
                 self.scope.add_variable(pname, node)
                 if t == "ObjectPattern":
                     elements = [(e.get("key"), e.get("value"), e) for e in p["properties"]]
@@ -1423,6 +1522,19 @@ class AstLowerer:
                 pname = p.get("name", self.code_of_node(p))
                 anno = ts_annotation_full(p.get("ts_type"))
                 ts = anno if (anno in JS_BUILTIN_FULL and anno != ANY) else ANY
+                if p.get("ts_type_members") is not None:
+                    # `credentials: { username: string; ... }` — inline
+                    # object type becomes an <anon-class>N TYPE_DECL
+                    # (AstForFunctionsCreator.scala:224-246)
+                    specs = []
+                    for m in p["ts_type_members"]:
+                        key = m.get("key", {})
+                        mname = key.get("name", self.code_of_node(key)) if key else ""
+                        if mname:
+                            specs.append((_strip_quotes(mname),
+                                          _ts_type_full(m.get("ts_type"))))
+                    ts = self._anon_param_typedecl(p, specs)
+                    anno = ts
                 node = Node("METHOD_PARAMETER_IN", name=pname, code=self.code_of_node(p),
                             index=index, order=index, evaluation_strategy="BY_VALUE",
                             type_full_name=ts,
@@ -1434,6 +1546,24 @@ class AstLowerer:
                 self.scope.add_variable(pname, node)
             params.append(node)
         return params
+
+    def _anon_param_typedecl(self, p, member_specs) -> str:
+        """Synthesize an `<anon-class>N` TYPE_DECL for an inline object type
+        or destructured parameter; returns its full name
+        (AstCreatorHelper.scala:286,311 nextAnonClassName)."""
+        name = f"<anon-class>{self._anon_class_counter}"
+        self._anon_class_counter += 1
+        full = f"{self.filename}:{':'.join(self.scope_name_stack)}:{name}"
+        td = Node("TYPE_DECL", name=name, full_name=full,
+                  code=self.code_of_node(p), filename=self.filename,
+                  **self._pos(p))
+        self.cpg.add_node(td)
+        self.cpg.add_edge(self.method_parent_stack[-1], td, "AST")
+        for mname, mtype in member_specs:
+            mem = Node("MEMBER", name=mname, code=mname, type_full_name=mtype,
+                       **self._pos(p))
+            self.cpg.add_edge(td, mem, "AST")
+        return full
 
     def _param_with_default(self, p) -> Ast:
         """convertParamWithDefault: `x = (x === void 0 ? default : x)`."""

@@ -212,6 +212,7 @@ class Parser:
         self.toks = tokenize(src)
         self.pos = 0
         self.last_return_type = None  # set by parse_params
+        self.last_type_members = None  # set by _opt_type_annotation
 
     # --- token helpers -----------------------------------------------------
     def peek(self, k=0) -> Token:
@@ -614,12 +615,18 @@ class Parser:
 
     def _opt_type_annotation(self):
         """Consume `?` optional markers and `: Type` annotations if present;
-        returns the annotation source text (or None)."""
+        returns the annotation source text (or None).  Inline object types
+        (`x: { a: string; b: number }`) are parsed structurally — the member
+        list lands in `self.last_type_members` (anon-class synthesis)."""
+        self.last_type_members = None
         if self.at("?") and self.peek(1).value == ":":
             self.eat("?")
         if self.at(":"):
             self.eat(":")
             t0 = self.peek().start
+            if self.at("{"):
+                self.last_type_members = self._parse_type_members()
+                return self.src[t0:self.toks[self.pos - 1].end].strip()
             self._skip_type_annotation()
             return self.src[t0:self.toks[self.pos - 1].end].strip()
         return None
@@ -738,6 +745,7 @@ class Parser:
                     p_mods.append(self.eat().value)
                 p = self.parse_binding_target()
                 ts_type = self._opt_type_annotation()
+                ts_members = self.last_type_members
                 if p_mods or p_decorators:
                     p = dict(p)
                     p["ts_modifiers"] = p_mods
@@ -746,6 +754,8 @@ class Parser:
                     p = dict(p)
                     p["ts_type"] = ts_type
                     p["end"] = self.toks[self.pos - 1].end
+                    if ts_members is not None:
+                        p["ts_type_members"] = ts_members
                 if self.opt("="):
                     dflt = self.parse_assignment()
                     p = self.node("AssignmentPattern", p["start"], dflt["end"], left=p, right=dflt)
@@ -827,6 +837,7 @@ class Parser:
                               decorators=decorators, return_type=m_return_type)
                 )
             else:
+                self.opt("!")  # definite-assignment assertion `msg!: string`
                 prop_type = self._opt_type_annotation()
                 value = None
                 if self.opt("="):
@@ -1751,29 +1762,33 @@ def _parse_jsx(src, i):
     return elem, i + 1
 
 
+# Vue templates keep whitespace-only JSXText nodes (Babel emits them;
+# the JSX goldens run with them stripped) — toggled by the .vue lowering.
+JSX_KEEP_WS_TEXT = False
+
+
 def _parse_jsx_children(src, i):
     """Children until (but not consuming) a '</'. Returns (children, i)."""
+    def flush_text(children, text_start, i):
+        if i > text_start and (src[text_start:i].strip() or JSX_KEEP_WS_TEXT):
+            children.append(_mk(src, "JSXText", text_start, i,
+                                value=src[text_start:i]))
+
     children = []
     n = len(src)
     text_start = i
     while i < n:
         if src.startswith("</", i):
-            if i > text_start and src[text_start:i].strip():
-                children.append(_mk(src, "JSXText", text_start, i,
-                                    value=src[text_start:i]))
+            flush_text(children, text_start, i)
             return children, i
         if src[i] == "<":
-            if i > text_start and src[text_start:i].strip():
-                children.append(_mk(src, "JSXText", text_start, i,
-                                    value=src[text_start:i]))
+            flush_text(children, text_start, i)
             child, i = _parse_jsx(src, i)
             children.append(child)
             text_start = i
             continue
         if src[i] == "{":
-            if i > text_start and src[text_start:i].strip():
-                children.append(_mk(src, "JSXText", text_start, i,
-                                    value=src[text_start:i]))
+            flush_text(children, text_start, i)
             j = _jsx_balanced_brace(src, i)
             inner_src = src[i + 1:j - 1]
             if inner_src.strip().startswith("/*") or not inner_src.strip():

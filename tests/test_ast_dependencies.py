@@ -319,3 +319,23 @@ export * from './some/ModuleB';
     assert deps == [("Foo", "Foo", "require"), ("B", "Bar", "require"),
                     ("ModuleA", "./some/ModuleA", "require"),
                     ("ModuleB", "./some/ModuleB", "require")]
+
+
+# DependencyAstCreationPassTests.scala:190-208 (multi-file imports)
+def test_import_with_multiple_files():
+    from joern_spark.cpg.build import build_cpg_files
+
+    cpg = build_cpg_files([
+        ("Test0.js", '\nimport {a} from "depA";\n'),
+        ("Test1.js", '\nimport {b} from "depB";\n'),
+    ], post_process=False)
+    imports = [n for n in cpg.nodes if n.label == "IMPORT"]
+    assert len(imports) == 2
+    a, b = imports
+
+    def file_of(imp):
+        prog = cpg.ast_parent(imp)
+        return prog.full_name.split("::")[0]
+
+    assert (a.imported_entity, file_of(a)) == ("depA:a", "Test0.js")
+    assert (b.imported_entity, file_of(b)) == ("depB:b", "Test1.js")

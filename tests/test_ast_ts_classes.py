@@ -425,3 +425,45 @@ namespace N {
     inner = sorted(e.dst.order for e in cpg.out(nblk, "AST")
                    if e.dst.label != "LOCAL")
     assert inner == [1, 2, 3, 4]
+
+
+# TsClassesAstCreationPassTests.scala:391-411 (dynamically defined param type)
+def test_anon_class_for_inline_object_type_param():
+    cpg = build_cpg("""
+class Test {
+    run(credentials: { username: string; password: string; }): string {
+        console.log(credentials);
+        return ``;
+    }
+}
+""")
+    td = _only(Q(cpg).type_decl().name_exact("<anon-class>0").l())
+    assert td.full_name == f"{FN}::program:Test:run:<anon-class>0"
+    members = _members(cpg, td)
+    assert [m.name for m in members] == ["username", "password"]
+    assert {m.type_full_name for m in members} == {"__ecma.String"}
+    param = _only([n for n in cpg.nodes if n.label == "METHOD_PARAMETER_IN"
+                   and n.name == "credentials"])
+    assert param.type_full_name == f"{FN}::program:Test:run:<anon-class>0"
+    # no assignment calls directly under typedecls
+    for n in cpg.nodes:
+        if n.label == "CALL" and n.name == "<operator>.assignment":
+            parent = cpg.ast_parent(n)
+            assert parent is None or parent.label != "TYPE_DECL"
+
+
+# TsClassesAstCreationPassTests.scala:413-433 (destructured param type)
+def test_anon_class_for_destructured_param():
+    cpg = build_cpg("""
+function apiCall({ username, password }) {
+    log(`${username}: ${password}`);
+}
+""")
+    td = _only(Q(cpg).type_decl().name_exact("<anon-class>0").l())
+    assert td.full_name == f"{FN}::program:apiCall:<anon-class>0"
+    members = _members(cpg, td)
+    assert [m.name for m in members] == ["username", "password"]
+    assert {m.type_full_name for m in members} == {"ANY"}
+    param = _only([n for n in cpg.nodes if n.label == "METHOD_PARAMETER_IN"
+                   and n.name == "param1_0"])
+    assert param.type_full_name == f"{FN}::program:apiCall:<anon-class>0"
