@@ -342,8 +342,12 @@ class Parser:
             if v == "throw":
                 self.eat("throw")
                 arg = self.parse_expression()
+                end = arg["end"]
+                semi = self.peek()
                 self.semicolon()
-                return self.node("ThrowStatement", t.start, arg["end"], argument=arg)
+                if semi.kind == "punct" and semi.value == ";":
+                    end = semi.end  # Babel ThrowStatement span includes `;`
+                return self.node("ThrowStatement", t.start, end, argument=arg)
             if v == "switch":
                 return self.parse_switch()
             if v == "try":

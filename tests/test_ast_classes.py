@@ -210,3 +210,83 @@ def test_class_extends_inherits():
     td = _only(Q(cpg).type_decl().name_exact("ClassA").l())
     supers = [e.dst.name for e in cpg.out(td, "INHERITS_FROM")]
     assert supers == ["Base"]
+
+
+def _new_block_checks(cpg, block_code, ctor_args=()):
+    """Shared structure of the `new X(...)` lowering block
+    (JsClassesAstCreationPassTests.scala:187-272)."""
+    block = next(n for n in cpg.nodes if n.label == "BLOCK" and n.code == block_code)
+    kids = cpg.ast_children(block)
+    locals_ = [k for k in kids if k.label == "LOCAL"]
+    assert [loc.name for loc in locals_] == ["_tmp_0"]
+    tmp_assign = next(k for k in kids if k.label == "CALL"
+                      and k.code == "_tmp_0 = .alloc")
+    assert tmp_assign.name == "<operator>.assignment"
+    ta_kids = cpg.ast_children(tmp_assign)
+    tmp_ids = [k for k in ta_kids if k.label == "IDENTIFIER"]
+    assert [t.name for t in tmp_ids] == ["_tmp_0"]
+    alloc = next(k for k in ta_kids if k.label == "CALL")
+    assert (alloc.name, alloc.code) == ("<operator>.alloc", ".alloc")
+    ctor = next(k for k in kids if k.label == "CALL" and k.code == block_code)
+    assert ctor.name == "<operator>.new"
+    ctor_kids = cpg.ast_children(ctor)
+    tmp0 = [k for k in ctor_kids if k.label == "IDENTIFIER" and k.name == "_tmp_0"]
+    assert len(tmp0) == 1 and tmp0[0].argument_index == 0
+    args = {a.name: a for a in cpg.arguments(ctor) if a.label == "IDENTIFIER"}
+    assert args["_tmp_0"].argument_index == 0
+    for i, name in enumerate(ctor_args, start=1):
+        assert args[name].argument_index == i
+    ret = [k for k in kids if k.label == "IDENTIFIER"]
+    assert [r.name for r in ret] == ["_tmp_0"]
+    return ctor
+
+
+# JsClassesAstCreationPassTests.scala:187-222 (simple new)
+def test_new_simple_structure():
+    cpg = build_cpg("new MyClass();")
+    ctor = _new_block_checks(cpg, "new MyClass()")
+    recv = cpg.receiver(ctor)
+    assert recv.label == "IDENTIFIER" and recv.name == "MyClass"
+    assert recv.argument_index == -1
+    named = [k for k in cpg.ast_children(ctor)
+             if k.label == "IDENTIFIER" and k.name == "MyClass"]
+    assert len(named) == 1
+
+
+# JsClassesAstCreationPassTests.scala:224-271 (new with arguments)
+def test_new_with_arguments_structure():
+    cpg = build_cpg("new MyClass(arg1, arg2);")
+    ctor = _new_block_checks(cpg, "new MyClass(arg1, arg2)",
+                             ctor_args=("arg1", "arg2"))
+    recv = cpg.receiver(ctor)
+    assert recv.name == "MyClass" and recv.argument_index == -1
+
+
+# JsClassesAstCreationPassTests.scala:273-312 (new with access path)
+def test_new_with_access_path_structure():
+    cpg = build_cpg("new foo.bar.MyClass();")
+    ctor = _new_block_checks(cpg, "new foo.bar.MyClass()")
+    path = next(k for k in cpg.ast_children(ctor)
+                if k.label == "CALL" and k.code == "foo.bar.MyClass")
+    assert path.name == "<operator>.fieldAccess"
+    recv = cpg.receiver(ctor)
+    assert recv.label == "CALL" and recv.code == "foo.bar.MyClass"
+    assert recv.name == "<operator>.fieldAccess" and recv.argument_index == -1
+
+
+# JsClassesAstCreationPassTests.scala:314-352 (throw new)
+def test_throw_new_structure():
+    cpg = build_cpg("function foo() { throw new Foo(); }")
+    foo = next(m for m in cpg.nodes if m.label == "METHOD" and m.name == "foo")
+    foo_block = next(k for k in cpg.ast_children(foo) if k.label == "BLOCK")
+    throw = next(k for k in cpg.ast_children(foo_block)
+                 if k.label == "CONTROL_STRUCTURE"
+                 and k.code == "throw new Foo();")
+    assert throw.control_structure_type == "THROW"
+    throw_kids = cpg.ast_children(throw)
+    new_block = next(k for k in throw_kids if k.label == "BLOCK"
+                     and k.code == "new Foo()")
+    assert [e.dst for e in cpg.out(throw, "ARGUMENT")] == [new_block]
+    ctor = _new_block_checks(cpg, "new Foo()")
+    recv = cpg.receiver(ctor)
+    assert recv.name == "Foo" and recv.argument_index == -1

@@ -228,3 +228,102 @@ def test_dependency_to_import_for_require():
     (imp,) = [n for n in cpg.nodes if n.label == "IMPORT"]
     (dep,) = [n for n in cpg.nodes if n.label == "DEPENDENCY"]
     assert [e.src for e in cpg.inn(dep, "IMPORTS")] == [imp]
+
+
+# MixedAstCreationPassTests.scala:213-227 (closure binding, argument to call)
+def test_closure_binding_argument_to_call():
+    from joern_spark.cpg.build import build_cpg_frontend
+
+    cpg = build_cpg_frontend("""
+const opts: RequestInit = {
+  method: "GET",
+  headers,
+};
+
+const fetchCookies = () => {
+  fetch(`/api/echo/${inputString}`, opts)
+};""", "code.ts")
+    opts = [n for n in cpg.nodes if n.label == "LOCAL" and n.name == "opts"]
+    ids = [loc.closure_binding_id for loc in opts if loc.closure_binding_id]
+    assert ids == ["code.ts::program:<lambda>0:opts"]
+
+
+# MixedAstCreationPassTests.scala:955-971 (object destructuring as parameter)
+def test_object_destructuring_assignment_as_parameter():
+    cpg = build_cpg("""
+function userId({id}) {
+  return id;
+}
+""")
+    user_id = _only(Q(cpg).method().name_exact("userId").l())
+    block = _only([c for c in cpg.ast_children(user_id) if c.label == "BLOCK"])
+    locals_ = [c for c in cpg.ast_children(block)
+               if c.label == "LOCAL" and c.name == "id"]
+    assert len(locals_) == 1
+    assign = _only([c for c in cpg.ast_children(block)
+                    if c.label == "CALL" and c.code == "id = param1_0.id"])
+    assert len([c for c in cpg.ast_children(assign)
+                if c.label == "IDENTIFIER"]) == 1
+    access = _only([c for c in cpg.ast_children(assign)
+                    if c.label == "CALL" and c.code == "param1_0.id"])
+    assert len([c for c in cpg.ast_children(access)
+                if c.label == "IDENTIFIER" and c.name == "param1_0"]) == 1
+    assert len([c for c in cpg.ast_children(access)
+                if c.label == "FIELD_IDENTIFIER"
+                and c.canonical_name == "id"]) == 1
+
+
+def _check_default_param(cpg, block, name, default):
+    assign = _only([c for c in cpg.ast_children(block) if c.label == "CALL"
+                    and c.code == f"{name} = {name} === void 0 ? {default} : {name}"])
+    assert len([c for c in cpg.ast_children(assign)
+                if c.label == "IDENTIFIER" and c.name == name]) == 1
+    ternary = _only([c for c in cpg.ast_children(assign)
+                     if c.label == "CALL" and c.name == "<operator>.conditional"])
+    test = _only([c for c in cpg.ast_children(ternary)
+                  if c.label == "CALL" and c.name == "<operator>.equals"])
+    assert len([c for c in cpg.ast_children(test)
+                if c.label == "IDENTIFIER" and c.name == name]) == 1
+    assert len([c for c in cpg.ast_children(test)
+                if c.label == "CALL" and c.name == "<operator>.void"]) == 1
+    assert len([c for c in cpg.ast_children(ternary)
+                if c.label == "LITERAL" and c.code == str(default)]) == 1
+    assert len([c for c in cpg.ast_children(ternary)
+                if c.label == "IDENTIFIER" and c.name == name]) == 1
+
+
+def _param_indexes(cpg, method):
+    return {p.name: p.index for e in cpg.out(method, "AST")
+            for p in [e.dst] if p.label == "METHOD_PARAMETER_IN"}
+
+
+# MixedAstCreationPassTests.scala:1272-1303
+def test_multiple_default_params():
+    cpg = build_cpg("function foo(a = 1, b = 2) {}")
+    foo = _only(Q(cpg).method().name_exact("foo").l())
+    idx = _param_indexes(cpg, foo)
+    assert idx["a"] == 1 and idx["b"] == 2
+    block = _only([c for c in cpg.ast_children(foo) if c.label == "BLOCK"])
+    _check_default_param(cpg, block, "a", 1)
+    _check_default_param(cpg, block, "b", 2)
+
+
+# MixedAstCreationPassTests.scala:1305-1324
+def test_mixed_default_params():
+    cpg = build_cpg("function foo(a, b = 1) {}")
+    foo = _only(Q(cpg).method().name_exact("foo").l())
+    idx = _param_indexes(cpg, foo)
+    assert idx["a"] == 1 and idx["b"] == 2
+    block = _only([c for c in cpg.ast_children(foo) if c.label == "BLOCK"])
+    _check_default_param(cpg, block, "b", 1)
+
+
+# MixedAstCreationPassTests.scala:1326-1357
+def test_multiple_mixed_default_params():
+    cpg = build_cpg("function foo(a, b = 1, c = 2) {}")
+    foo = _only(Q(cpg).method().name_exact("foo").l())
+    idx = _param_indexes(cpg, foo)
+    assert idx["a"] == 1 and idx["b"] == 2 and idx["c"] == 3
+    block = _only([c for c in cpg.ast_children(foo) if c.label == "BLOCK"])
+    _check_default_param(cpg, block, "b", 1)
+    _check_default_param(cpg, block, "c", 2)
