@@ -1832,14 +1832,23 @@ class AstLowerer:
                 continue
             line, col = self.line_of(prop["start"]), self.col_of(prop["start"])
             if pt == "ObjectMethod":
-                key_name = prop["key"].get("name", self.code_of_node(prop["key"]))
+                if prop.get("computed"):
+                    # calcMethodName (AstCreatorHelper.scala:229-231): computed
+                    # object methods get a synthesized unique name and the key
+                    # stays an expression → indexAccess assignment
+                    key_name = self.unused_name("_computed_object_method")
+                else:
+                    key_name = prop["key"].get("name", self.code_of_node(prop["key"]))
                 prop["_key_name"] = key_name
                 method_js = dict(prop)
                 method_js["type"] = "FunctionExpression"
                 method_js["id"] = {"name": key_name, "start": prop["key"]["start"],
                                    "end": prop["key"]["end"], "type": "Identifier"}
                 rhs_ast = self.ast_for_function(method_js, create_reference=True)
-                key_ast = Ast(self.field_identifier_node(prop["key"], _strip_quotes(key_name)))
+                if prop.get("computed"):
+                    key_ast = self.ast_for_node(prop["key"])
+                else:
+                    key_ast = Ast(self.field_identifier_node(prop["key"], _strip_quotes(key_name)))
             else:
                 key = prop["key"]
                 if prop.get("computed"):

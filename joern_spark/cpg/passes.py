@@ -62,7 +62,7 @@ def create_namespaces(cpg: Cpg):
 def create_method_stubs(cpg: Cpg):
     existing = {m.full_name for m in cpg.methods()}
     seen: dict[str, Node] = {}
-    for call in [n for n in cpg.nodes if n.label == "CALL"]:
+    for call in cpg.nodes_by_label("CALL"):
         fn = call.method_full_name
         if not fn or fn == DYNAMIC_UNKNOWN or fn in existing or fn in seen:
             continue
@@ -75,7 +75,7 @@ def link_calls(cpg: Cpg):
     for m in cpg.methods():
         methods_by_full.setdefault(m.full_name, []).append(m)
         methods_by_name.setdefault(m.name, []).append(m)
-    calls = [n for n in cpg.nodes if n.label == "CALL"]
+    calls = cpg.nodes_by_label("CALL")
     # static linking
     for call in calls:
         if call.dispatch_type in ("STATIC_DISPATCH", "INLINED"):
@@ -156,7 +156,7 @@ def recover_types(cpg: Cpg):
     var_type: dict[tuple[int, str], str] = {}    # (method_id, var) → type full
     var_module: dict[tuple[int, str], str] = {}  # (method_id, var) → module
 
-    calls = [n for n in cpg.nodes if n.label == "CALL"]
+    calls = cpg.nodes_by_label("CALL")
     for call in calls:
         if call.name != "<operator>.assignment":
             continue
@@ -183,13 +183,24 @@ def recover_types(cpg: Cpg):
                     var_module[(scope, lhs.name)] = mod
                     break
 
-    def lookup(table, scope, name):
+    # document-level fallback index: name → set of hinted values (built
+    # once; the per-call linear scan was O(calls×hints))
+    def _by_name(table):
+        idx: dict[str, set] = {}
+        for (_s, n), val in table.items():
+            idx.setdefault(n, set()).add(val)
+        return idx
+
+    type_by_name = _by_name(var_type)
+    module_by_name = _by_name(var_module)
+
+    def lookup(table, idx, scope, name):
         v = table.get((scope, name))
         if v is not None:
             return v
         # document-level fallback: unique hint for the name anywhere
-        hits = {val for (s, n), val in table.items() if n == name}
-        return hits.pop() if len(hits) == 1 else None
+        hits = idx.get(name, ())
+        return next(iter(hits)) if len(hits) == 1 else None
 
     stub_cache: dict[str, Node] = {}
     for call in calls:
@@ -204,12 +215,12 @@ def recover_types(cpg: Cpg):
             continue
         base = fa_args[0]
         scope = method_of.get(call.id, -1)
-        t = lookup(var_type, scope, base.name)
+        t = lookup(var_type, type_by_name, scope, base.name)
         if t is not None:
             call.method_full_name = f"{t}:{call.name}"
             base.type_full_name = t
             continue
-        mod = lookup(var_module, scope, base.name)
+        mod = lookup(var_module, module_by_name, scope, base.name)
         if mod is not None:
             fn = f"{mod}:{call.name}"
             call.method_full_name = fn
@@ -228,7 +239,7 @@ def link_dynamic_calls(cpg: Cpg):
     ALL its subclasses (INHERITS_FROM closure); calls resolve through
     validM with super-class fallback, preferring internal methods over
     external stubs.  JS has no signatures, so lookup is by name."""
-    typedecls = [t for t in cpg.nodes if t.label == "TYPE_DECL"]
+    typedecls = cpg.nodes_by_label("TYPE_DECL")
     td_by_full = {t.full_name: t for t in typedecls}
     methods_of_td = {
         t.id: [e.dst for e in cpg.out(t, "AST") if e.dst.label == "METHOD"]
@@ -271,7 +282,7 @@ def link_dynamic_calls(cpg: Cpg):
         if not m.name.startswith("<operator>"):
             method_by_full.setdefault(m.full_name, m)
 
-    for call in [n for n in cpg.nodes if n.label == "CALL"]:
+    for call in cpg.nodes_by_label("CALL"):
         if call.dispatch_type != "DYNAMIC_DISPATCH":
             continue
         fn = call.method_full_name

@@ -57,7 +57,8 @@ GLOBAL_BUILTINS = {
 
 
 def is_dummy_type(t: str) -> bool:
-    return any(tok in t for tok in _DUMMY_TOKENS)
+    return (DUMMY_RETURN_TYPE in t or DUMMY_MEMBER_LOAD in t
+            or DUMMY_INDEX_ACCESS in t)
 
 
 def _known(types) -> "dict[str, None]":
@@ -72,6 +73,13 @@ def all_types_of(n: Node) -> list[str]:
 
 
 def known_types_of(n: Node) -> "dict[str, None]":
+    # fast path: the overwhelmingly common single-source case avoids the
+    # list concat + dictcomp (hot in the per-document build)
+    if not n.dynamic_type_hint_full_name and not n.possible_types:
+        t = n.type_full_name or "ANY"
+        if t and not _UNKNOWN_RE.match(t):
+            return {t: None}
+        return {}
     return _known(all_types_of(n))
 
 
@@ -231,7 +239,7 @@ def _in_assignment(cpg: Cpg, n: Node) -> Optional[Node]:
 
 
 def _assignments(cpg: Cpg) -> list[Node]:
-    return [n for n in cpg.nodes if n.label == "CALL" and n.name == ASSIGNMENT]
+    return [n for n in cpg.nodes_by_label("CALL") if n.name == ASSIGNMENT]
 
 
 def _assignment_args(cpg: Cpg, a: Node) -> list[Node]:
@@ -308,7 +316,7 @@ def inheritance_full_name_pass(cpg: Cpg):
 
     # imported entities per file (relative path heads normalized)
     entities_by_file: dict[str, list[str]] = {}
-    for imp in [n for n in cpg.nodes if n.label == "IMPORT"]:
+    for imp in cpg.nodes_by_label("IMPORT"):
         ent = imp.imported_entity
         if not ent:
             continue
@@ -321,7 +329,7 @@ def inheritance_full_name_pass(cpg: Cpg):
             ent = ":".join(parts)
         entities_by_file.setdefault(fname, []).append(ent)
 
-    for td in [n for n in cpg.nodes if n.label == "TYPE_DECL"]:
+    for td in cpg.nodes_by_label("TYPE_DECL"):
         for e in cpg.out(td, "INHERITS_FROM"):
             stub = e.dst
             # unresolved external supertype stub: short name == full name
@@ -422,7 +430,7 @@ def resolve_imports_js(cpg: Cpg) -> dict[int, list]:
     # fall back to full_name prefix for file identity
     programs = {m.full_name: m for m in cpg.methods() if m.name == PROGRAM}
 
-    for imp in [n for n in cpg.nodes if n.label == "IMPORT"]:
+    for imp in cpg.nodes_by_label("IMPORT"):
         entity, alias = imp.imported_entity, imp.imported_as
         if not entity or not alias:
             continue
@@ -547,7 +555,7 @@ class JsTypeRecovery:
         self.prepopulate_symbol_table()
         for a in _assignments(cpg):
             self.visit_assignments(a)
-        for r in [n for n in cpg.nodes if n.label == "RETURN"]:
+        for r in cpg.nodes_by_label("RETURN"):
             self.visit_return(r)
         self.set_type_information()
         self.post_set_type_information()

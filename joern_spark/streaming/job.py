@@ -109,7 +109,7 @@ def session_findings(pages: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def exactly_once_batch_writer(out_dir: str, n_key_buckets: int = 8):
+def exactly_once_batch_writer(out_dir: str, n_key_buckets: int | None = None):
     """foreachBatch sink: deterministic epoch path + overwrite = idempotent
     under replay.  Every row carries its lineage (batch_id + the shuffle
     partition that produced it); a metrics table records per-partition row
@@ -126,6 +126,11 @@ def exactly_once_batch_writer(out_dir: str, n_key_buckets: int = 8):
     (a handful of rows) keeps coalesce(1)."""
 
     def write(batch_df: DataFrame, batch_id: int):
+        # writer parallelism follows the session's shuffle width unless the
+        # caller pins it (tiny local tests pass a small value; at cluster
+        # scale this yields one writer task per shuffle partition)
+        n_buckets = n_key_buckets or int(
+            batch_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         rows = (batch_df
                 .withColumn("batch_id", F.lit(batch_id))
                 .withColumn("src_partition", F.spark_partition_id())
@@ -133,7 +138,7 @@ def exactly_once_batch_writer(out_dir: str, n_key_buckets: int = 8):
                             # pmod, not abs(hash)%n: abs(Int.MinValue)
                             # overflows negative and % keeps the sign
                             F.pmod(F.hash("window_start", "query_name"),
-                                   F.lit(n_key_buckets))))
+                                   F.lit(n_buckets))))
         rows.persist()
         (rows.repartition("key_bucket")
          .write.mode("overwrite").partitionBy("key_bucket")

@@ -135,3 +135,64 @@ var x = {
     assert len(am) == 1
     refs = _at(cpg, am[0]).ast_children().is_method_ref().l()
     assert len(refs) == 1
+
+
+# SimpleAstCreationPassTests.scala:331-355 (tagged runtime node with
+# complex tag expression)
+def test_tagged_template_complex_tag_ast():
+    cpg = build_cpg(r"String.raw`../${42}\..`", "code.js")
+    mblock = _only(Q(cpg).method().name_exact(":program")
+                   .ast_children().is_block())
+    raw = _only(_at(cpg, mblock).ast_children().is_call())
+    assert raw.dispatch_type == "DYNAMIC_DISPATCH"
+    assert raw.name == "raw"
+    rcv = _at(cpg, raw).receiver().is_call().l()
+    assert [n.code for n in rcv] == ["String.raw"]
+    assert raw.code == "String.raw`../${42}\\..`"
+    arg1 = _only(_at(cpg, raw).ast_children().is_block())
+    assert arg1.argument_index == 1
+    child_codes = [n.code for n in _at(cpg, arg1).ast_children().l()]
+    assert child_codes == [
+        "_tmp_0", "_tmp_0 = __ecma.Array.factory()",
+        '_tmp_0.push("../")', '_tmp_0.push("\\..")', "_tmp_0"]
+    arg2 = _only(_at(cpg, raw).ast_children().is_literal().code_exact("42"))
+    assert arg2.argument_index == 2
+
+
+# SimpleAstCreationPassTests.scala:557-585 (objects with computed object
+# method names → synthesized _computed_object_method_N)
+def test_computed_object_method_names():
+    cpg = build_cpg("""
+const obj = {
+  ["someNameComputation()"](node: Node) {
+    foo(node);
+  },
+  ["someOtherNameComputation()"](node: Node) {
+    bar(node);
+  }
+};""", "obj.ts")
+    mblock = _only(Q(cpg).method().name_exact(":program")
+                   .ast_children().is_block())
+    assignment = _only(_at(cpg, mblock).ast_children().is_call())
+    block = _only(_at(cpg, assignment).ast_children().is_block())
+    # methodRefWithName(_computed_object_method_N).referencedMethod.fullName
+    for n in (0, 1):
+        name = f"_computed_object_method_{n}"
+        full = f"obj.ts::program:{name}"
+        (ref,) = [x for x in cpg.nodes
+                  if x.label == "METHOD_REF" and x.code == name]
+        assert ref.method_full_name == full
+        (meth,) = [m for m in cpg.methods() if m.full_name == full]
+        assert meth.name == name
+    # checkObjectInitializationIndex: _tmp_0["<key>"] = _computed_object_method_N
+    for key, val in ((' "someNameComputation()"', "_computed_object_method_0"),
+                     ('"someOtherNameComputation()"', "_computed_object_method_1")):
+        key = key.strip()
+        assigns = [x for x in _at(cpg, block).ast_children().is_call().l()
+                   if x.name == "<operator>.assignment"
+                   and x.code.endswith(f" = {val}") and f"[{key}]" in x.code]
+        assert len(assigns) == 1, \
+            [x.code for x in _at(cpg, block).ast_children().is_call().l()]
+        (ia,) = [x for x in _at(cpg, assigns[0]).ast_children().is_call().l()
+                 if x.name == "<operator>.indexAccess"]
+        assert ia.code.endswith(f"[{key}]")
