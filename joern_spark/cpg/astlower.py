@@ -11,6 +11,7 @@ with capture tracking.
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 from joern_spark.cpg.core import Ast, Cpg, Node
@@ -240,6 +241,8 @@ class ScopeManager:
                 if m_scope is None:
                     continue
                 var_node = self._create_local(m_scope, name)
+                # the materialized local sits at its first (shallowest) use
+                var_node.line, var_node.column = ident.line, ident.column
                 m_scope.variables[name] = var_node
             # linking walk (nextLinkStep)
             scope = use_scope
@@ -519,7 +522,10 @@ class AstLowerer:
             program["body"] = imports + templates + rest
         else:
             program = parse(self._parse_src)
-        file_node = Node("FILE", name=self.filename, code="<empty>", order=0)
+        # content mirrors File.contents with file-content enabled
+        # (CodeDumperFromContentTests) — same str object, no copy
+        file_node = Node("FILE", name=self.filename, code="<empty>", order=0,
+                         content=self.src)
         ns = Node("NAMESPACE_BLOCK", name="<global>",
                   full_name=f"{self.filename}:<global>", filename=self.filename, order=1)
         self.method_parent_stack.append(ns)
@@ -2920,22 +2926,28 @@ class AstLowerer:
             for n in self._own_nodes():
                 if n.label in ("METHOD", "TYPE_DECL", "NAMESPACE_BLOCK") and n.filename:
                     self.cpg.add_edge(n, file_node, "SOURCE_FILE")
-        # TYPE nodes for every non-ANY typeFullName in use
+        # TYPE nodes for every non-ANY typeFullName in use.  TypeNodePass
+        # registers names from ALL nodes (members/locals/params included);
+        # EVAL_TYPE edges are added for expressions only (TypeEvalPass).
         type_nodes: dict[str, Node] = {n.full_name: n for n in self.cpg.nodes
                                        if n.label == "TYPE"}
         decls = {n.full_name: n for n in self.cpg.nodes if n.label == "TYPE_DECL"}
         for n in list(self._own_nodes()):
             t = n.type_full_name
-            if not t or t == "ANY" or not n.is_expression:
+            if not t or t == "ANY" or n.label in ("TYPE", "TYPE_DECL"):
                 continue
             tn = type_nodes.get(t)
             if tn is None:
-                tn = Node("TYPE", name=t.rsplit(".", 1)[-1], full_name=t, code=t)
+                # short name: the segment after the last path separator
+                # (':' for jssrc full names, '.' for builtin dictionaries)
+                short = re.split(r"[.:]", t)[-1] or t
+                tn = Node("TYPE", name=short, full_name=t, code=t)
                 self.cpg.add_node(tn)
                 type_nodes[t] = tn
                 if t in decls:
                     self.cpg.add_edge(tn, decls[t], "REF")
-            self.cpg.add_edge(n, tn, "EVAL_TYPE")
+            if n.is_expression:
+                self.cpg.add_edge(n, tn, "EVAL_TYPE")
 
     def _own_nodes(self):
         return self.cpg.nodes[self._node_start:]

@@ -16,7 +16,8 @@ from joern_spark.cpg.cfg import add_cfg
 from joern_spark.cpg.core import Cpg
 from joern_spark.cpg.dominators import add_cdg, add_dominators
 from joern_spark.cpg.passes import (
-    create_method_stubs, create_namespaces, link_calls, link_dynamic_calls,
+    create_method_stubs, create_namespaces, create_type_decl_stubs,
+    link_calls, link_dynamic_calls, register_types,
 )
 from joern_spark.cpg.typerec import run_type_recovery
 from joern_spark.cpg.reachingdef import add_reaching_defs
@@ -37,12 +38,15 @@ def build_cpg(src: str, filename: str = "script.js",
         sys.setrecursionlimit(20000)
     cpg = lower_js(src, filename)
     create_namespaces(cpg)   # NamespaceCreator (A5, Base overlay)
+    create_type_decl_stubs(cpg)  # TypeDeclStubCreator (Base overlay)
     create_method_stubs(cpg)
     if post_process:
         # jssrc2cpg post-processing (package.scala:10-15): ConstClosure →
         # ImportResolver → XTypeRecovery ×2 → TypeHintCallLinker →
         # ObjectPropertyCallLinker (A19, full port in typerec.py)
         run_type_recovery(cpg)
+        register_types(cpg)          # recovered types → TYPE nodes
+        create_type_decl_stubs(cpg)  # + external stubs for the new TYPEs
     link_dynamic_calls(cpg)  # CHA (DynamicCallLinker, A15)
     link_calls(cpg)          # static + naive/closure fallback (skips linked)
     add_cfg(cpg)
@@ -72,9 +76,12 @@ def build_cpg_files(files: list[tuple[str, str]],
         sys.setrecursionlimit(20000)
     cpg = lower_js_files(files)
     create_namespaces(cpg)
+    create_type_decl_stubs(cpg)
     create_method_stubs(cpg)
     if post_process:
         run_type_recovery(cpg)
+        register_types(cpg)
+        create_type_decl_stubs(cpg)
     link_dynamic_calls(cpg)
     link_calls(cpg)
     add_cfg(cpg)

@@ -42,6 +42,18 @@ def _make_stub(cpg: Cpg, call: Node, fn: str) -> Node:
     return method
 
 
+def create_meta_data(cpg: Cpg, cpg_hash: str = "", input_path: str = "") -> Node:
+    """JavaScriptMetaDataPass (jssrc2cpg JavaScriptMetaDataPass.scala:11-21):
+    one META_DATA node carrying language=JSSRC, the project root and the
+    CPG hash.  Corpus-scale this is table-level metadata written once by
+    the store, never per-document."""
+    import os
+    meta = Node("META_DATA", name="", code="<empty>", language="JSSRC",
+                hash=cpg_hash, root=os.path.abspath(input_path or "."))
+    cpg.add_node(meta)
+    return meta
+
+
 def create_namespaces(cpg: Cpg):
     """NAMESPACE aggregation nodes: group NAMESPACE_BLOCKs by name, one
     NAMESPACE node per distinct name, REF edge from each block to it
@@ -57,6 +69,47 @@ def create_namespaces(cpg: Cpg):
         cpg.add_node(ns)
         for block in blocks:
             cpg.add_edge(block, ns, "REF")
+
+
+def register_types(cpg: Cpg):
+    """TypeNodePass re-run (x2cpg TypeNodePass.scala): ensure a TYPE node
+    per non-ANY typeFullName in use — needed again after type recovery,
+    which assigns module-qualified types (e.g. `loader:Loader`) that did
+    not exist at lowering time.  Idempotent: existing TYPE nodes and
+    EVAL_TYPE edges are kept."""
+    import re as _re
+    type_nodes = {t.full_name: t for t in cpg.nodes_by_label("TYPE")}
+    decls = {t.full_name: t for t in cpg.nodes_by_label("TYPE_DECL")}
+    for n in list(cpg.nodes):
+        t = n.type_full_name
+        if not t or t == "ANY" or n.label in ("TYPE", "TYPE_DECL"):
+            continue
+        tn = type_nodes.get(t)
+        if tn is None:
+            short = _re.split(r"[.:]", t)[-1] or t
+            tn = Node("TYPE", name=short, full_name=t, code=t)
+            cpg.add_node(tn)
+            type_nodes[t] = tn
+            if t in decls:
+                cpg.add_edge(tn, decls[t], "REF")
+        if n.is_expression and not any(e.dst is tn
+                                       for e in cpg.out(n, "EVAL_TYPE")):
+            cpg.add_edge(n, tn, "EVAL_TYPE")
+
+
+def create_type_decl_stubs(cpg: Cpg):
+    """TypeDeclStubCreator (x2cpg passes/base/TypeDeclStubCreator.scala:
+    14-36): every TYPE node without a same-fullName TYPE_DECL gets an
+    external TYPE_DECL stub."""
+    decls = {t.full_name for t in cpg.nodes_by_label("TYPE_DECL")}
+    for typ in cpg.nodes_by_label("TYPE"):
+        if typ.full_name in decls:
+            continue
+        decls.add(typ.full_name)
+        stub = Node("TYPE_DECL", name=typ.name, full_name=typ.full_name,
+                    code=typ.name, is_external=True, order=-1)
+        cpg.add_node(stub)
+        cpg.add_edge(typ, stub, "REF")
 
 
 def create_method_stubs(cpg: Cpg):

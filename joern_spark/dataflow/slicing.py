@@ -10,6 +10,8 @@ Arrow pass and emits slice rows; per-document slices are independent.
 
 from __future__ import annotations
 
+import re
+
 from joern_spark.cpg.core import Cpg, Node
 from joern_spark.dataflow.engine import Engine, PathElement
 from joern_spark.cpg.semantics import Semantics, default_semantics
@@ -122,13 +124,28 @@ def _resolved(full_name: str):
                     or full_name.startswith("<operator")) else full_name
 
 
-def _def_component(cpg: Cpg, node: Node | None) -> dict | None:
+def _type_map(cpg: Cpg) -> dict[str, str]:
+    """UsageSlicing typeMap (UsageSlicing.scala:43): every TYPE_DECL's
+    name → fullName, last occurrence winning like Scala's toMap."""
+    return {t.name: t.full_name for t in cpg.nodes_by_label("TYPE_DECL")
+            if t.name}
+
+
+def _def_component(cpg: Cpg, node: Node | None,
+                   type_map: dict[str, str] | None = None) -> dict | None:
     """DefComponent JSON (package.scala:217-296 variants: LocalDef,
     LiteralDef, ParamDef, CallDef, UnknownDef) — the `label` field is the
     variant discriminator."""
     if node is None:
         return None
-    base = {"name": node.name or node.code, "typeFullName": node.type_full_name or "ANY",
+    type_map = type_map or {}
+    # nodeType (package.scala:335-341): first non-ANY/UNKNOWN of
+    # typeFullName + dynamicTypeHints, corrected through the type map
+    cands = [node.type_full_name or "ANY",
+             *node.dynamic_type_hint_full_name]
+    node_type = next((t for t in cands if t not in ("ANY", "UNKNOWN")), "ANY")
+    node_type = type_map.get(node_type, node_type)
+    base = {"name": node.name or node.code, "typeFullName": node_type,
             "lineNumber": node.line, "columnNumber": node.column}
     if node.label == "LOCAL":
         return {"label": "LOCAL", **base}
@@ -137,6 +154,15 @@ def _def_component(cpg: Cpg, node: Node | None) -> dict | None:
     if node.label == "METHOD_PARAMETER_IN":
         return {"label": "PARAM", **base, "position": node.index}
     if node.label == "CALL":
+        if node.code.startswith("new "):
+            # DefComponent.fromNode (package.scala:346-354): constructor
+            # calls render as `new T` with the class full name
+            type_name = node.code[len("new "):].split("(", 1)[0]
+            full = type_map.get(type_name)
+            return {"label": "CALL", **base,
+                    "name": node.code.split("(", 1)[0],
+                    "typeFullName": full or base["typeFullName"],
+                    "resolvedMethod": full}
         return {"label": "CALL", **base,
                 "resolvedMethod": _resolved(node.method_full_name)}
     if node.label == "IDENTIFIER":
@@ -145,8 +171,37 @@ def _def_component(cpg: Cpg, node: Node | None) -> dict | None:
     return {"label": "UNKNOWN", **base}
 
 
-def _observed_call(cpg: Cpg, call: Node, field_name: str | None = None) -> dict:
-    """ObservedCall JSON (package.scala:395-403)."""
+_CONSTRUCTOR_TYPE_RE = re.compile(r".*new (\w+)\(.*")
+
+
+def _observed_call(cpg: Cpg, call: Node, field_name: str | None = None,
+                   type_map: dict[str, str] | None = None) -> dict:
+    """ObservedCall JSON (package.scala:395-403).  Constructor invocations
+    (UsageSlicing.exprToObservedCall:166-199 with CallExt.isConstructor)
+    render as the class name with the class full name as the resolved
+    method AND the return type; their params come from the inner
+    `<operator>.new` call."""
+    type_map = type_map or {}
+    news = [n for n in cpg.ast_subtree(call)
+            if n.label == "CALL" and n.name in ("<operator>.new",
+                                                "<operator>.alloc")]
+    if field_name is None and news and call.name.startswith("<operator"):
+        m = _CONSTRUCTOR_TYPE_RE.match(call.code or "")
+        type_name = (m.group(1) if m
+                     else call.code.removeprefix("new ").split("(", 1)[0])
+        resolved = type_map.get(type_name)
+        param_src = cpg.arguments(news[-1])
+        params = ["LAMBDA" if a.label == "METHOD_REF"
+                  else (a.type_full_name or "ANY")
+                  for a in param_src if (a.argument_index or 0) > 0]
+        return {
+            "callName": type_name,
+            "resolvedMethod": resolved,
+            "paramTypes": params,
+            "returnType": resolved or "ANY",
+            "lineNumber": call.line,
+            "columnNumber": call.column,
+        }
     params = []
     for a in cpg.arguments(call):
         if (a.argument_index or 0) <= 0:
@@ -189,6 +244,7 @@ def usage_slice(cpg: Cpg, min_num_calls: int = 1,
     method, per declaration (locals + parameters), what defines the object
     and which calls it receives / flows into — the API-inventory mode of
     joern-slice."""
+    type_map = _type_map(cpg)
     # referencing identifiers per declaration (REF edges)
     refs: dict[int, list[Node]] = {}
     for e in cpg.edges:
@@ -240,18 +296,29 @@ def usage_slice(cpg: Cpg, min_num_calls: int = 1,
                 if outer is not None:
                     fa_args = cpg.arguments(call)
                     fname = fa_args[1].code if len(fa_args) == 2 else call.name
-                    invoked.append(_observed_call(cpg, outer, field_name=fname))
+                    invoked.append(_observed_call(cpg, outer, field_name=fname,
+                                                  type_map=type_map))
                     continue
+            if any(n.label == "CALL" and n.name in ("<operator>.new",
+                                                    "<operator>.alloc")
+                   for n in cpg.ast_subtree(call)):
+                # constructor involvement goes to invokedCalls regardless
+                # of the operator name (partitionInvolvementInCalls:
+                # `Right(_) if c.isConstructor => true`)
+                invoked.append(_observed_call(cpg, call, type_map=type_map))
+                continue
             if exclude_operator_calls and call.name.startswith("<operator"):
                 continue
             if (ident.argument_index or 0) > 0 \
                     and call.name != "<operator>.assignment":
-                arg_to.append({**_observed_call(cpg, call),
+                arg_to.append({**_observed_call(cpg, call, type_map=type_map),
                                "position": ident.argument_index})
         if len(invoked) + len(arg_to) < min_num_calls:
             continue
-        defined_by = (_def_component(cpg, decl) if decl.label == "METHOD_PARAMETER_IN"
-                      else _def_component(cpg, _defined_by(cpg, decl, idents)))
+        defined_by = (_def_component(cpg, decl, type_map)
+                      if decl.label == "METHOD_PARAMETER_IN"
+                      else _def_component(cpg, _defined_by(cpg, decl, idents),
+                                          type_map))
         if decl.label == "LOCAL":
             db = defined_by or {}
             if db.get("label") == "CALL" and db.get("name") in ("require", "import"):
@@ -260,7 +327,7 @@ def usage_slice(cpg: Cpg, min_num_calls: int = 1,
         if m is None:
             continue
         slices_by_method.setdefault(m.id, []).append({
-            "targetObj": _def_component(cpg, decl),
+            "targetObj": _def_component(cpg, decl, type_map),
             "definedBy": defined_by,
             "invokedCalls": invoked,
             "argToCalls": arg_to,
@@ -280,12 +347,19 @@ def usage_slice(cpg: Cpg, min_num_calls: int = 1,
                               key=lambda kv: methods_by_id[kv[0]].full_name)
     ]
 
-    # userDefinedTypes (UsageSlicing.userDefinedTypes)
+    # userDefinedTypes (UsageSlicing.userDefinedTypes:355-366: external and
+    # generated typedecls excluded; the synthesized constructor leads the
+    # procedures like the reference's class lowering order)
     udts = []
+    _udt_excluded = re.compile(r"(:program|<module>|<init>|<meta>|<body>)")
     for t in cpg.nodes:
-        if t.label != "TYPE_DECL" or t.name in (":program",):
+        if t.label != "TYPE_DECL" or t.is_external \
+                or _udt_excluded.fullmatch(t.name or ""):
             continue
         methods = [c.dst for c in cpg.out(t, "AST") if c.dst.label == "METHOD"]
+        methods.sort(key=lambda m: (m.name != "<init>",
+                                    m.line if m.line is not None else 1 << 30,
+                                    m.order))
         method_names = {m.name for m in methods}
         # method MEMBER mirrors report under procedures, not fields
         members = [c.dst for c in cpg.out(t, "AST")

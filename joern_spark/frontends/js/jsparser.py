@@ -587,11 +587,21 @@ class Parser:
         at a depth-0 `,` `)` `]` `}` `;` `=` `=>` or `{`.  Coverage targets
         simple annotation shapes (unions, generics, qualified names)."""
         depth = 0
+        expect_arrow = False  # inside a constructor/function type `new (..) => T`
         while True:
             t = self.peek()
             if t.kind == "eof":
                 return
             v = t.value
+            if depth == 0 and t.kind in ("id", "kw") and v == "new" \
+                    and self.peek(1).value == "(":
+                # TS constructor type `new (args) => T`: the arrow after the
+                # parameter list belongs to the type, not the enclosing arrow
+                expect_arrow = True
+            if depth == 0 and t.kind == "punct" and v == "=>" and expect_arrow:
+                expect_arrow = False
+                self.eat()
+                continue
             if depth == 0 and t.kind == "punct" and v in (",", ")", "]", "}",
                                                           ";", "=", "=>", "{"):
                 return

@@ -55,8 +55,10 @@ def run_one(cores: int, n_docs: int) -> dict:
 def main():
     if sys.argv[1:2] == ["--pair"]:
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else N_DOCS_DEFAULT
+        n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 4 * n_lo
         results = []
-        for cores in (8, 32):
+        for cores in (n_lo, n_hi):
             out = subprocess.run(
                 [sys.executable, __file__, str(cores), str(n_docs)],
                 capture_output=True, text=True, check=True)

@@ -12,7 +12,9 @@ from joern_spark.cpg.build import build_cpg
 from joern_spark.dataflow.engine import reachable_by_flows, result_pairs
 from joern_spark.query.cpgql import Q
 
-SAMPLE = "/root/reference/tests/code/jssrc/simple.js"
+SAMPLE = os.path.join(os.path.dirname(__file__), "data", "reference_simple.js")
+# verbatim copy of the reference smoke-test input (tests/code/jssrc/
+# simple.js) so the repo stays standalone
 
 
 @pytest.mark.skipif(not os.path.exists(SAMPLE), reason="reference sample missing")

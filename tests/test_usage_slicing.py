@@ -10,7 +10,12 @@ import json
 from joern_spark.cpg.build import build_cpg
 from joern_spark.dataflow.slicing import usage_slice
 
-SRC = open("/root/reference/tests/code/jssrc/simple.js").read()
+import os
+
+SRC = open(os.path.join(os.path.dirname(__file__), "data",
+                "reference_simple.js")).read()  # verbatim copy of the
+# reference smoke-test input (tests/code/jssrc/simple.js) so the repo
+# stays standalone
 
 
 def _slices():
@@ -95,4 +100,6 @@ p.len();
     sl = next(s for ms in prog["objectSlices"] for s in ms["slices"]
               if s["targetObj"]["name"] == "p")
     assert sl["definedBy"]["label"] == "CALL"
-    assert {c["callName"] for c in sl["invokedCalls"]} == {"len"}
+    # the constructor involvement is an invoked call, as the reference's
+    # partitionInvolvementInCalls does (JsUsageSliceTests "Car"/"Foo")
+    assert {c["callName"] for c in sl["invokedCalls"]} == {"Point", "len"}
