@@ -31,13 +31,21 @@ DEFAULT_BENCH = [
     "events_user_totals_salted",
     "events_cube",
     "doc_token_counts",
+    "doc_lang_id",
     "doc_quality",
+    "doc_fingerprints",
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_lsh_pairs",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "sim_cosine_topk",
+    "sim_near_dup_pairs",
     "sim_ann_lsh",
+    "media_features",
+    "customers_without_orders",
+    "part_types_with_sales",
+    "region_customer_counts",
     "cpg_build_flows",
     "cpg_node_stats",       # exercises the single-pass nodes+edges build
     "cpg_reachable_pairs",  # iterative-join reachability over REACHING_DEF

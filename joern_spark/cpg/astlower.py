@@ -1450,7 +1450,10 @@ class AstLowerer:
                 pname = self.code_of_node(p).replace("...", "")
                 node = Node("METHOD_PARAMETER_IN", name=pname, code=self.code_of_node(p),
                             index=index, order=index, is_variadic=True,
-                            evaluation_strategy="BY_VALUE", type_full_name=ANY, **self._pos(p))
+                            evaluation_strategy="BY_VALUE",
+                            # rest parameters are arrays (TSTypesTests:
+                            # "empty method with rest parameter")
+                            type_full_name="__ecma.Array", **self._pos(p))
                 local = self.local_node(p, pname)
                 self.cpg.add_node(local)
                 self.cpg.add_edge(self.local_parent_stack[-1], local, "AST")

@@ -17,7 +17,7 @@ from joern_spark.cpg.core import Cpg
 from joern_spark.cpg.dominators import add_cdg, add_dominators
 from joern_spark.cpg.passes import (
     create_method_stubs, create_namespaces, create_type_decl_stubs,
-    link_calls, link_dynamic_calls, register_types,
+    hint_this_identifiers, link_calls, link_dynamic_calls, register_types,
 )
 from joern_spark.cpg.typerec import run_type_recovery
 from joern_spark.cpg.reachingdef import add_reaching_defs
@@ -45,6 +45,7 @@ def build_cpg(src: str, filename: str = "script.js",
         # ImportResolver → XTypeRecovery ×2 → TypeHintCallLinker →
         # ObjectPropertyCallLinker (A19, full port in typerec.py)
         run_type_recovery(cpg)
+        hint_this_identifiers(cpg)   # `this` → enclosing class/program hint
         register_types(cpg)          # recovered types → TYPE nodes
         create_type_decl_stubs(cpg)  # + external stubs for the new TYPEs
     link_dynamic_calls(cpg)  # CHA (DynamicCallLinker, A15)
@@ -80,6 +81,7 @@ def build_cpg_files(files: list[tuple[str, str]],
     create_method_stubs(cpg)
     if post_process:
         run_type_recovery(cpg)
+        hint_this_identifiers(cpg)
         register_types(cpg)
         create_type_decl_stubs(cpg)
     link_dynamic_calls(cpg)
@@ -89,3 +91,58 @@ def build_cpg_files(files: list[tuple[str, str]],
     add_cdg(cpg, ipdoms)
     add_reaching_defs(cpg, semantics or _SEMANTICS)
     return cpg
+
+
+def build_project(input_path: str,
+                  ignored_files: tuple[str, ...] = (),
+                  ignored_files_regex: str = "",
+                  semantics: Semantics | None = None,
+                  post_process: bool = True) -> Cpg:
+    """Directory-project build (the joern-parse ingestion shape,
+    ProjectParseTests.scala): walk ``input_path``, apply the AstGenRunner
+    file filters (minified/transpiled/default ignores + the user's
+    --exclude / --exclude-regex), lower every selected source file into
+    ONE graph, skipping files that fail to parse (broken inputs must not
+    take the project down — "recover from broken input file").  FILE node
+    names are project-relative.
+
+    Corpus-scale note: a "project" here is driver-side tooling input (a
+    few files); web pages go through the per-document mapInPandas path."""
+    import os
+
+    from joern_spark.sources.file_filter import select_project_files
+
+    exts = (".js", ".jsx", ".cjs", ".mjs", ".ts", ".tsx", ".vue", ".ejs")
+    collected: list[tuple[str, str]] = []
+    for root, dirs, fnames in os.walk(input_path):
+        dirs.sort()
+        for fname in sorted(fnames):
+            full = os.path.join(root, fname)
+            rel = os.path.relpath(full, input_path)
+            if not (fname.endswith(exts) or fname.endswith(".js.map")):
+                continue
+            try:
+                with open(full, encoding="utf-8", errors="replace") as f:
+                    collected.append((rel, f.read()))
+            except OSError:
+                continue
+    selected = select_project_files(
+        collected, ignored_files=ignored_files,
+        ignored_files_regex=ignored_files_regex,
+        root=os.path.abspath(input_path))
+    # drop files that do not parse, keep the rest (per-file recovery)
+    from joern_spark.frontends.js.jsparser import ParseError, parse
+    from joern_spark.cpg.astlower import vue_parse_source
+    from joern_spark.extract import preprocess_ejs
+
+    good: list[tuple[str, str]] = []
+    for rel, text in selected:
+        if rel.endswith(".ejs"):
+            text = preprocess_ejs(text)  # same-length transform
+        probe = vue_parse_source(text) if rel.endswith(".vue") else text
+        try:
+            parse(probe)
+        except (ParseError, RecursionError):
+            continue
+        good.append((rel, text))
+    return build_cpg_files(good, semantics, post_process)

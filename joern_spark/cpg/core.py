@@ -267,15 +267,34 @@ class Cpg:
     _EMPTY: dict = {}
 
     def add_edge(self, src: Node, dst: Node, label: str, variable: str = ""):
-        self.add_node(src)
-        self.add_node(dst)
+        # hot path: nodes are almost always registered already, and
+        # setdefault would allocate a throwaway {}/[] per call
+        ids = self._node_ids
+        if id(src) not in ids:
+            self.add_node(src)
+        if id(dst) not in ids:
+            self.add_node(dst)
         e = Edge(src, dst, label, variable)
         self.edges.append(e)
         # keep the adjacency index incremental: passes interleave edge
         # insertion with traversal (DDG generation), so rebuilding per edge
         # would be O(E²) per document
-        self._out.setdefault(src.id, {}).setdefault(label, []).append(e)
-        self._in.setdefault(dst.id, {}).setdefault(label, []).append(e)
+        by = self._out.get(src.id)
+        if by is None:
+            by = self._out[src.id] = {}
+        lst = by.get(label)
+        if lst is None:
+            by[label] = [e]
+        else:
+            lst.append(e)
+        by = self._in.get(dst.id)
+        if by is None:
+            by = self._in[dst.id] = {}
+        lst = by.get(label)
+        if lst is None:
+            by[label] = [e]
+        else:
+            lst.append(e)
         if label == "AST":
             self._ast_kids.pop(src.id, None)
         elif label == "ARGUMENT":

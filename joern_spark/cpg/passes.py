@@ -71,6 +71,30 @@ def create_namespaces(cpg: Cpg):
             cpg.add_edge(block, ns, "REF")
 
 
+def hint_this_identifiers(cpg: Cpg):
+    """`this` receives a dynamic type hint of its enclosing class's full
+    name, or the enclosing module's `::program` when free-standing
+    (TSTypesTests "dynamicTypeHint for this"). Runs AFTER type recovery so
+    the hint never feeds the symbol table."""
+    for n in cpg.nodes_by_label("IDENTIFIER"):
+        if n.name != "this" or n.dynamic_type_hint_full_name \
+                or n.type_full_name not in ("", "ANY"):
+            continue
+        cur = cpg.ast_parent(n)
+        target = None
+        while cur is not None:
+            if cur.label == "TYPE_DECL" and cur.name \
+                    and not cur.name.startswith("<") and cur.name != ":program":
+                target = cur.full_name
+                break
+            if cur.label == "METHOD" and cur.name == ":program":
+                target = cur.full_name
+                break
+            cur = cpg.ast_parent(cur)
+        if target:
+            n.dynamic_type_hint_full_name = (target,)
+
+
 def register_types(cpg: Cpg):
     """TypeNodePass re-run (x2cpg TypeNodePass.scala): ensure a TYPE node
     per non-ANY typeFullName in use — needed again after type recovery,

@@ -292,17 +292,28 @@ class SemanticsView:
     def __init__(self, cpg: Cpg, semantics: Semantics):
         self.cpg = cpg
         self.semantics = semantics
+        # node-id memos: the validator asks the same questions about the
+        # same nodes many times per DDG build (graph is frozen here)
+        self._for_call: dict[int, list] = {}
+        self._in_call: dict[int, Node | None] = {}
 
     def for_call(self, call: Node) -> list:
+        out = self._for_call.get(call.id)
+        if out is not None:
+            return out
         out = []
         for m in called_methods(self.cpg, call):
             s = self.semantics.for_method_full_name(m.full_name)
             if s is not None:
                 out.append(s)
+        self._for_call[call.id] = out
         return out
 
     def for_call_by_arg(self, expr: Node) -> list:
-        call = self.cpg.in_call(expr)
+        try:
+            call = self._in_call[expr.id]
+        except KeyError:
+            call = self._in_call[expr.id] = self.cpg.in_call(expr)
         if call is None:
             return []
         return self.for_call(call)

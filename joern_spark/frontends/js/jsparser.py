@@ -1435,7 +1435,15 @@ class Parser:
                 t0 = self.peek().start
                 depth = 1
                 while depth > 0 and self.peek().kind != "eof":
-                    v = self.eat().value
+                    tok = self.eat()
+                    v = tok.value
+                    if tok.kind == "punct" and v in ("%", "@", "#", "!", "?",
+                                                     ";", "{", "}"):
+                        # never legal inside a TS type assertion — this is
+                        # broken input, not a type (Babel rejects it too;
+                        # ProjectParseTests "strange filenames")
+                        raise ParseError(
+                            f"invalid token {v!r} in type assertion at {tok.start}")
                     if v == "<":
                         depth += 1
                     elif v == ">":

@@ -35,6 +35,14 @@ _IGNORED_TESTS_RE = [re.compile(p) for p in (
     r".*[.-]test\.js", r".*cypress\.json", r".*test.*\.json",
 )]
 
+# AstGenRunner.scala:28-49 (AstGenDefaultIgnoreRegex folder rules; the
+# file-extension rule is covered by the tests/files regexes below)
+_IGNORED_FOLDERS = (
+    "node_modules", "venv", "docs", "test", "tests", "e2e", "e2e-beta",
+    "examples", "cypress", "jest-cache", "eslint-rules", "codemods",
+    "flow-typed", "i18n", "vendor", "www", "dist", "build",
+)
+
 # AstGenRunner.scala:61-80
 _IGNORED_FILES_RE = [re.compile(p) for p in (
     r".*jest\.config.*", r".*webpack\..*\.js", r".*vue\.config\.js",
@@ -70,10 +78,37 @@ def is_minified_file(path: str, text: str | None) -> bool:
 
 
 def is_ignored_by_default(path: str, text: str | None) -> bool:
-    """AstGenRunner.isIgnoredByDefault (:166-175)."""
+    """AstGenRunner.isIgnoredByDefault (:166-175) + the default folder
+    rules of AstGenDefaultIgnoreRegex (:28-49) + hidden directories
+    (SourceFiles.determine skips dot-folders)."""
+    segments = path.split("/")[:-1]
+    if any(s.startswith(".") and s not in (".", "..") for s in segments):
+        return True
+    if any(s in _IGNORED_FOLDERS for s in segments):
+        return True
     return (any(r.fullmatch(path) for r in _IGNORED_FILES_RE)
             or any(r.fullmatch(path) for r in _IGNORED_TESTS_RE)
             or is_minified_file(path, text))
+
+
+def _is_ignored_by_user(path: str, ignored_files, ignored_regex,
+                        root: str = "") -> bool:
+    """Config.withIgnoredFiles / withIgnoredFilesRegex semantics
+    (ExcludeTests.scala): entries are files or folders, relative to the
+    project root or absolute; the regex full-matches the path."""
+    candidates = {path}
+    if root:
+        candidates.add(f"{root.rstrip('/')}/{path}")
+    for entry in ignored_files:
+        e = entry.rstrip("/")
+        for c in candidates:
+            if c == e or c.startswith(e + "/"):
+                return True
+    if ignored_regex:
+        rx = re.compile(ignored_regex)
+        if any(rx.fullmatch(c) for c in candidates):
+            return True
+    return False
 
 
 def _siblings(path: str, all_paths: set[str]) -> list[str]:
@@ -103,15 +138,23 @@ def _has_ejs_source(path: str, all_paths: set[str]) -> bool:
                for s in _siblings(path, all_paths))
 
 
-def select_project_files(files: "list[tuple[str, str]]") -> "list[tuple[str, str]]":
+def select_project_files(files: "list[tuple[str, str]]",
+                         ignored_files: "tuple[str, ...]" = (),
+                         ignored_files_regex: str = "",
+                         root: str = "") -> "list[tuple[str, str]]":
     """AstGenRunner.fileFilter (:128-151) + the ejs rule of
     processEjsFiles (:226-231), over in-memory (path, text) pairs.
-    Returns the kept pairs in input order."""
+    ``ignored_files`` / ``ignored_files_regex`` are the user's --exclude /
+    --exclude-regex; ``root`` is the absolute project path absolute
+    excludes are written against.  Returns the kept pairs in input
+    order."""
     all_paths = {p for p, _ in files}
     by_path = dict(files)
     kept = []
     for path, text in files:
         if any(path.endswith(ext) for ext in TYPE_DEFINITION_EXTENSIONS):
+            continue
+        if _is_ignored_by_user(path, ignored_files, ignored_files_regex, root):
             continue
         if is_ignored_by_default(path, text):
             continue
