@@ -3004,13 +3004,19 @@ def _code_of(node: Optional[Node]) -> str:
     return node.code if node is not None else ""
 
 
+_SNAKE_MEMO: dict[str, str] = {}
+
+
 def _snake(name: str) -> str:
-    out = []
-    for i, ch in enumerate(name):
-        if ch.isupper() and i > 0 and (not name[i - 1].isupper()):
-            out.append("_")
-        out.append(ch.lower())
-    return "".join(out)
+    s = _SNAKE_MEMO.get(name)
+    if s is None:
+        out = []
+        for i, ch in enumerate(name):
+            if ch.isupper() and i > 0 and (not name[i - 1].isupper()):
+                out.append("_")
+            out.append(ch.lower())
+        s = _SNAKE_MEMO[name] = "".join(out)
+    return s
 
 
 def lower_js(src: str, filename: str = "script.js") -> Cpg:

@@ -166,7 +166,9 @@ class Ast:
     def __init__(self, node: Optional[Node] = None):
         self.nodes: list[Node] = [node] if node is not None else []
         self.edges: list[tuple[Node, Node]] = []
-        self.typed: dict[str, list[tuple[Node, Node]]] = {k: [] for k in Ast.TYPED}
+        # lazily populated: most Asts carry no typed edges, and eagerly
+        # allocating 16 lists per instance dominated lowering allocations
+        self.typed: dict[str, list[tuple[Node, Node]]] = {}
 
     @property
     def root(self) -> Optional[Node]:
@@ -190,16 +192,23 @@ class Ast:
     def _merge(self, other: "Ast"):
         self.nodes.extend(other.nodes)
         self.edges.extend(other.edges)
-        for k in Ast.TYPED:
-            self.typed[k].extend(other.typed[k])
+        if other.typed:
+            mine = self.typed
+            for k, pairs in other.typed.items():
+                lst = mine.get(k)
+                if lst is None:
+                    mine[k] = list(pairs)
+                else:
+                    lst.extend(pairs)
 
     def with_typed_edge(self, kind: str, src: Node, dst: Node) -> "Ast":
-        self.typed[kind].append((src, dst))
+        self.typed.setdefault(kind, []).append((src, dst))
         return self
 
     def with_arg_edges(self, src: Node, dsts) -> "Ast":
+        lst = self.typed.setdefault("argument", [])
         for d in dsts:
-            self.typed["argument"].append((src, d))
+            lst.append((src, d))
         return self
 
     def store(self, cpg: "Cpg"):
@@ -229,8 +238,8 @@ class Ast:
             "receiver": "RECEIVER", "ref": "REF", "argument": "ARGUMENT",
             "binds": "BINDS", "capture": "CAPTURE", "jump_argument": "JUMP_ARGUMENT",
         }
-        for kind, pairs in self.typed.items():
-            for src, dst in pairs:
+        for kind in Ast.TYPED:  # fixed order keeps edge tables deterministic
+            for src, dst in self.typed.get(kind, ()):
                 cpg.add_edge(src, dst, label_map[kind])
 
 

@@ -165,7 +165,11 @@ def write_findings_partitioned(findings: DataFrame, out_dir: str,
            .withColumn("day", F.to_date("warc_ts"))
            .withColumn("domain_bucket",
                        F.pmod(F.hash("url"), F.lit(n_domain_buckets))))
-    (out.repartition("day", "domain_bucket")
+    # range partitioning (not hash): writer tasks own contiguous
+    # (day, bucket, warc_ts) ranges, so each parquet file covers a tight
+    # warc_ts span — row-group min/max stats then prune time-range scans
+    (out.repartitionByRange("day", "domain_bucket", "warc_ts")
+     .sortWithinPartitions("warc_ts")
      .write.mode("overwrite")
      .partitionBy("day", "domain_bucket")
      .parquet(out_dir))
