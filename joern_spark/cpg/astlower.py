@@ -2959,32 +2959,13 @@ class AstLowerer:
         return [n for n in self._own_nodes() if n.label == "METHOD"]
 
     def _add_contains_edges(self):
-        """ContainsEdgePass: METHOD -CONTAINS-> every AST node within the
-        method body, not descending into nested methods/type decls."""
-        for method in self._own_methods():
-            stack = [c for c in self.cpg.ast_children(method)]
-            while stack:
-                n = stack.pop()
-                if n.label in ("METHOD", "TYPE_DECL"):
-                    continue
-                self.cpg.add_edge(method, n, "CONTAINS")
-                stack.extend(self.cpg.ast_children(n))
+        from joern_spark.cpg.passes import CONTAINS_SOURCES, add_contains_edges
+        add_contains_edges(self.cpg, [n for n in self._own_nodes()
+                                      if n.label in CONTAINS_SOURCES])
 
     def _link_parameter_outs(self):
-        """MethodDecoratorPass: METHOD_PARAMETER_OUT + PARAMETER_LINK per
-        input parameter."""
-        for method in self._own_methods():
-            m_ast_children = self.cpg.ast_children(method)
-            for p in m_ast_children:
-                if p.label != "METHOD_PARAMETER_IN":
-                    continue
-                out = Node("METHOD_PARAMETER_OUT", name=p.name, code=p.code,
-                           index=p.index, order=p.order,
-                           evaluation_strategy=p.evaluation_strategy,
-                           type_full_name=p.type_full_name, line=p.line, column=p.column)
-                self.cpg.add_node(out)
-                self.cpg.add_edge(method, out, "AST")
-                self.cpg.add_edge(p, out, "PARAMETER_LINK")
+        from joern_spark.cpg.passes import create_parameter_outs
+        create_parameter_outs(self.cpg, self._own_methods())
 
 
 def _shorten(code: str, max_len: int = MAX_CODE_LENGTH) -> str:

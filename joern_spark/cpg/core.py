@@ -201,6 +201,38 @@ class Ast:
                 else:
                     lst.extend(pairs)
 
+    def sub_tree_copy(self, node: Node,
+                      argument_index: "int | None" = None) -> "Ast":
+        """Ast.subTreeCopy (x2cpg Ast.scala:297-340): recursively deep-copy
+        the subtree rooted at ``node`` — each level contributes its own
+        remapped typed edges BEFORE its children's (the reference builds
+        Ast(newNode).copy(remapped edges).withChildren(copied children)),
+        so nodes come out in preorder and edges root-level-first."""
+        def clone(n: Node) -> Node:
+            c = Node(n.label)
+            for slot in Node.__slots__:
+                if slot not in ("id", "label"):
+                    setattr(c, slot, getattr(n, slot))
+            return c
+
+        new_node = clone(node)
+        if argument_index is not None and node.is_expression:
+            new_node.argument_index = argument_index
+
+        ast_children = [d for s, d in self.edges if s is node]
+        new_children = [self.sub_tree_copy(c) for c in ast_children]
+        old_to_new = {id(old): new.root
+                      for old, new in zip(ast_children, new_children)}
+
+        out = Ast(new_node)
+        for kind, pairs in self.typed.items():
+            kept = [(new_node, old_to_new.get(id(d), d))
+                    for s, d in pairs if s is node]
+            if kept:
+                out.typed[kind] = kept
+        out.with_children(new_children)
+        return out
+
     def with_typed_edge(self, kind: str, src: Node, dst: Node) -> "Ast":
         self.typed.setdefault(kind, []).append((src, dst))
         return self
@@ -382,6 +414,21 @@ class Cpg:
         while cur is not None and cur.label != "METHOD":
             cur = self.ast_parent(cur)
         return cur
+
+    def method_body_nodes(self, method: Node) -> list[Node]:
+        """Every AST node within the method body, not descending into
+        nested methods/type decls (the analysis-side body collection; the
+        CONTAINS edge table follows the reference ContainsEdgePass
+        destination set, which excludes params/returns/locals)."""
+        out = []
+        stack = list(self.ast_children(method))
+        while stack:
+            n = stack.pop()
+            if n.label in ("METHOD", "TYPE_DECL"):
+                continue
+            out.append(n)
+            stack.extend(self.ast_children(n))
+        return out
 
     def methods(self) -> list[Node]:
         return list(self._by_label.get("METHOD", ()))

@@ -28,9 +28,9 @@ class _DomGraph:
         self.reverse = reverse
         self.entry = cpg.method_return(method) if reverse else method
         nodes = [method, cpg.method_return(method)]
-        for e in cpg.out(method, "CONTAINS"):
-            if e.dst.is_cfg_node:
-                nodes.append(e.dst)
+        for dn in cpg.method_body_nodes(method):
+            if dn.is_cfg_node:
+                nodes.append(dn)
         seen = set()
         self.nodes = []
         for n in nodes:
@@ -101,6 +101,24 @@ def _immediate_dominators(g: _DomGraph) -> dict[int, Node]:
                 changed = True
     idom.pop(g.entry.id, None)
     return {k: v for k, v in idom.items() if v is not None}
+
+
+def dominance_frontier(nodes, preds_fn, idom: "dict[int, Node]") -> "dict[int, set[int]]":
+    """Generic dominance frontier (CfgDominatorFrontier.scala): for each
+    join node y (>=2 preds), each pred walks up the immediate-dominator
+    chain until idom(y); every node passed gains y in its frontier."""
+    df: dict[int, set[int]] = {}
+    for y in nodes:
+        ps = preds_fn(y)
+        if len(ps) < 2:
+            continue
+        yi = idom.get(y.id)
+        for p in ps:
+            runner = p
+            while runner is not None and (yi is None or runner.id != yi.id):
+                df.setdefault(runner.id, set()).add(y.id)
+                runner = idom.get(runner.id)
+    return df
 
 
 def add_dominators(cpg: Cpg) -> dict[int, dict[int, Node]]:

@@ -54,6 +54,49 @@ def create_meta_data(cpg: Cpg, cpg_hash: str = "", input_path: str = "") -> Node
     return meta
 
 
+def create_parameter_outs(cpg: Cpg, methods: "list[Node] | None" = None):
+    """MethodDecoratorPass (x2cpg passes/base/MethodDecoratorPass.scala):
+    a METHOD_PARAMETER_OUT mirroring each input parameter, linked via
+    PARAMETER_LINK."""
+    for method in (methods if methods is not None else cpg.methods()):
+        for p in cpg.ast_children(method):
+            if p.label != "METHOD_PARAMETER_IN":
+                continue
+            out = Node("METHOD_PARAMETER_OUT", name=p.name, code=p.code,
+                       index=p.index, order=p.order,
+                       evaluation_strategy=p.evaluation_strategy,
+                       type_full_name=p.type_full_name, line=p.line,
+                       column=p.column)
+            cpg.add_node(out)
+            cpg.add_edge(method, out, "AST")
+            cpg.add_edge(p, out, "PARAMETER_LINK")
+
+
+CONTAINS_SOURCES = ("METHOD", "TYPE_DECL", "FILE")
+CONTAINS_DESTS = {
+    "BLOCK", "IDENTIFIER", "FIELD_IDENTIFIER", "RETURN", "METHOD",
+    "TYPE_DECL", "CALL", "LITERAL", "METHOD_REF", "TYPE_REF",
+    "CONTROL_STRUCTURE", "JUMP_TARGET", "UNKNOWN", "TEMPLATE_DOM",
+}
+
+
+def add_contains_edges(cpg: Cpg, sources: "list[Node] | None" = None):
+    """ContainsEdgePass (x2cpg passes/base/ContainsEdgePass.scala:15-50):
+    every METHOD/TYPE_DECL/FILE -CONTAINS-> each destination-typed AST
+    node below it, not descending into nested source-typed nodes."""
+    if sources is None:
+        sources = [n for label in CONTAINS_SOURCES
+                   for n in cpg.nodes_by_label(label)]
+    for source in sources:
+        stack = list(cpg.ast_children(source))
+        while stack:
+            n = stack.pop()
+            if n.label in CONTAINS_DESTS:
+                cpg.add_edge(source, n, "CONTAINS")
+            if n.label not in CONTAINS_SOURCES:
+                stack.extend(cpg.ast_children(n))
+
+
 def create_namespaces(cpg: Cpg):
     """NAMESPACE aggregation nodes: group NAMESPACE_BLOCKs by name, one
     NAMESPACE node per distinct name, REF edge from each block to it

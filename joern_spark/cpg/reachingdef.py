@@ -115,11 +115,8 @@ class FlowGraph:
         return None
 
     def _method_cfg_nodes(self) -> list[Node]:
-        out = []
-        for e in self.cpg.out(self.method, "CONTAINS"):
-            if e.dst.is_cfg_node:
-                out.append(e.dst)
-        return out
+        return [n for n in self.cpg.method_body_nodes(self.method)
+                if n.is_cfg_node]
 
     def _reverse_post_order(self) -> list[Node]:
         visited = set()
@@ -154,7 +151,7 @@ class TransferFunction:
         method = fg.method
         self.method = method
 
-        contains = [e.dst for e in cpg.out(method, "CONTAINS")]
+        contains = cpg.method_body_nodes(method)
         self.method_calls = [n for n in contains if n.label == "CALL"]
         identifiers = [n for n in contains if n.label == "IDENTIFIER"]
         self.all_identifiers: dict[str, list[Node]] = {}
@@ -616,7 +613,7 @@ class DdgGenerator:
                     out.append(idents[0])
             return out
 
-        contains = [e.dst for e in cpg.out(method, "CONTAINS")]
+        contains = cpg.method_body_nodes(method)
         for ident in [n for n in contains if n.label == "IDENTIFIER"]:
             for e in cpg.out(ident, "REF"):
                 for usage in first_usages(e.dst):

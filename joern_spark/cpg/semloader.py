@@ -48,9 +48,26 @@ def _tokens(text: str):
         yield kind, m.group("quoted") if kind == "quoted" else m.group()
 
 
+def _drop_invalid_lines(text: str) -> str:
+    """The reference's ANTLR parser recovers per line — unparseable lines
+    are skipped and valid ones still load (FullNameSemanticsParserTests
+    "skip invalid lines and still parse valid ones")."""
+    kept = []
+    for line in text.split("\n"):
+        try:
+            list(_tokens(line))
+        except ValueError:
+            continue
+        kept.append(line)
+    return "\n".join(kept)
+
+
 def parse_semantics(text: str) -> list[FlowSemantic]:
     """Parse `.sem` text → FlowSemantic list (grammar above)."""
-    toks = list(_tokens(text))
+    try:
+        toks = list(_tokens(text))
+    except ValueError:
+        toks = list(_tokens(_drop_invalid_lines(text)))
     out: list[FlowSemantic] = []
     i = 0
     n = len(toks)

@@ -583,8 +583,7 @@ def _field_and_index_accesses(cpg: Cpg, ident: Node) -> list[Node]:
     if m is None:
         return []
     out = []
-    for e in cpg.out(m, "CONTAINS"):
-        n = e.dst
+    for n in cpg.method_body_nodes(m):
         if n.label == "IDENTIFIER" and n.name == ident.name:
             c = cpg.in_call(n)
             if c is not None and c.name in FIELD_ACCESS_NAMES:

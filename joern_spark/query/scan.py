@@ -26,13 +26,22 @@ from joern_spark.query.cpgql import Q
 
 
 class Query:
-    """querydb-style descriptor (DangerousFunctions.scala:14-52 shape)."""
+    """querydb-style descriptor (DangerousFunctions.scala:14-52 shape).
+    ``evidence`` (optional) returns one node-list per match — the Finding
+    evidence SARIF code flows are built from (query/sarif.py)."""
 
     def __init__(self, name: str, score: float,
-                 matcher: Callable[[Cpg, Q], int]):
+                 matcher: Callable[[Cpg, Q], int],
+                 evidence: "Callable[[Cpg, Q], list] | None" = None):
         self.name = name
         self.score = score
         self.matcher = matcher
+        self.evidence = evidence
+
+    def evidence_lists(self, cpg: Cpg, q: Q) -> "list[list]":
+        if self.evidence is not None:
+            return self.evidence(cpg, q)
+        return []
 
 
 def _taint(source_fn, sink_fn) -> Callable[[Cpg, Q], int]:
@@ -45,25 +54,56 @@ def _taint(source_fn, sink_fn) -> Callable[[Cpg, Q], int]:
     return run
 
 
+def _taint_evidence(source_fn, sink_fn):
+    def run(cpg: Cpg, q: Q) -> list:
+        sources = source_fn(q)
+        sinks = sink_fn(q)
+        if not sources or not sinks:
+            return []
+        return reachable_by_flows(cpg, sinks, sources)
+    return run
+
+
+def _node_evidence(node_fn):
+    def run(cpg: Cpg, q: Q) -> list:
+        return [[n] for n in node_fn(q)]
+    return run
+
+
 def default_bundle() -> list[Query]:
     """The standing query bundle for web-page CPGs: taint + pattern
     queries in the style of the reference's querydb scanners."""
     return [
         Query("user-input-to-read", 8.0, _taint(
             lambda q: q.identifier("sz").l(),
-            lambda q: q.call().code("read.*").l())),
+            lambda q: q.call().code("read.*").l()),
+              evidence=_taint_evidence(
+                  lambda q: q.identifier("sz").l(),
+                  lambda q: q.call().code("read.*").l())),
         Query("source-to-sink", 9.0, _taint(
             lambda q: q.call().code("source.*").l(),
-            lambda q: q.call().code("sink.*").argument().l())),
+            lambda q: q.call().code("sink.*").argument().l()),
+              evidence=_taint_evidence(
+                  lambda q: q.call().code("source.*").l(),
+                  lambda q: q.call().code("sink.*").argument().l())),
         Query("literal-to-call-arg", 3.0, _taint(
             lambda q: q.literal().l(),
-            lambda q: q.call().code("(sink|fn|foo).*").argument().l())),
+            lambda q: q.call().code("(sink|fn|foo).*").argument().l()),
+              evidence=_taint_evidence(
+                  lambda q: q.literal().l(),
+                  lambda q: q.call().code("(sink|fn|foo).*").argument().l())),
         Query("eval-like-call", 7.0,
-              lambda cpg, q: q.call().name("(eval|Function|execScript)").size()),
+              lambda cpg, q: q.call().name("(eval|Function|execScript)").size(),
+              evidence=_node_evidence(
+                  lambda q: q.call().name("(eval|Function|execScript)").l())),
         Query("document-write", 4.0,
-              lambda cpg, q: q.call().code(r"document\.write\(.*").size()),
+              lambda cpg, q: q.call().code(r"document\.write\(.*").size(),
+              evidence=_node_evidence(
+                  lambda q: q.call().code(r"document\.write\(.*").l())),
         Query("dangerous-prop-assign", 5.0,
-              lambda cpg, q: q.call().assignment().code(".*innerHTML.*").size()),
+              lambda cpg, q: q.call().assignment().code(".*innerHTML.*").size(),
+              evidence=_node_evidence(
+                  lambda q: q.call().assignment().code(".*innerHTML.*").l())),
     ]
 
 
