@@ -324,3 +324,36 @@ def test_fragment_assembly_stateful(spark):
             assert got[p.url] == (3, len(cpg.nodes), nf), p.url
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_multi_kill_chaos_resume(spark, corpus_dir):
+    """north_rule "resumable from ANY checkpoint": the stream is killed
+    after each micro-batch (1 file per trigger → 4 batches), so every
+    restart resumes from a different checkpoint epoch; the final counts
+    must equal an uninterrupted run's."""
+    base = tempfile.mkdtemp(prefix="chaos_")
+    try:
+        full = _run_to_completion(spark, corpus_dir, f"{base}/ref_out",
+                                  f"{base}/ref_cp")
+        ref = {(str(r.window_start), r.query_name): (r.n_matches, r.n_docs)
+               for r in full}
+
+        out, cp = f"{base}/out", f"{base}/cp"
+        for _attempt in range(3):
+            q = job.run_stream(spark, corpus_dir, out, cp,
+                               available_now=True)
+            deadline = time.time() + 120
+            while time.time() < deadline and q.isActive:
+                if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+                    break
+                time.sleep(0.25)
+            q.stop()
+            q.awaitTermination(60)
+
+        resumed = _run_to_completion(spark, corpus_dir, out, cp)
+        got = {(str(r.window_start), r.query_name): (r.n_matches, r.n_docs)
+               for r in resumed}
+        assert got == ref, \
+            "multi-kill resume must reproduce identical per-window counts"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
