@@ -30,11 +30,12 @@ AST_NODE_LABELS = CFG_NODE_LABELS | {
     "JUMP_LABEL", "IMPORT", "BINDING", "DEPENDENCY", "ANNOTATION",
 }
 
-# <operator>.* names — the generic member-access set (MemberAccess.scala)
+# <operator>.* names — the generic member-access set
+# (MemberAccess.scala:10-23, incl. addressOf)
 GENERIC_MEMBER_ACCESS_NAMES = {
     "<operator>.memberAccess", "<operator>.indirectMemberAccess",
     "<operator>.computedMemberAccess", "<operator>.indirectComputedMemberAccess",
-    "<operator>.indirection", "<operator>.fieldAccess",
+    "<operator>.indirection", "<operator>.addressOf", "<operator>.fieldAccess",
     "<operator>.indirectFieldAccess", "<operator>.indexAccess",
     "<operator>.indirectIndexAccess", "<operator>.pointerShift",
     "<operator>.getElementPtr",
