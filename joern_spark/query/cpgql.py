@@ -411,6 +411,117 @@ class Steps:
             out.extend(e.dst for e in self.cpg.out(n, "EVAL_TYPE"))
         return Steps(self.cpg, out)
 
+    def index_from(self, i: int) -> "Steps":
+        """MethodParameterTraversal.indexFrom."""
+        return self.filter(lambda n: (n.index or 0) >= i)
+
+    def index_to(self, i: int) -> "Steps":
+        """MethodParameterTraversal.indexTo."""
+        return self.filter(lambda n: (n.index or 0) <= i)
+
+    def has_modifier(self, modifier_type: str) -> "Steps":
+        """AstNodeMethods.hasModifier: a MODIFIER AST child of that type."""
+        return self.filter(lambda n: any(
+            c.label == "MODIFIER" and c.modifier_type == modifier_type
+            for c in self.cpg.ast_children(n)))
+
+    def defining_type_decl(self) -> "Steps":
+        """MethodTraversal.definingTypeDecl: nearest TYPE_DECL ancestor."""
+        out = []
+        for n in self.nodes:
+            cur = self.cpg.ast_parent(n)
+            while cur is not None and cur.label != "TYPE_DECL":
+                cur = self.cpg.ast_parent(cur)
+            if cur is not None:
+                out.append(cur)
+        return Steps(self.cpg, out)
+
+    def namespace(self) -> "Steps":
+        """NAMESPACE of the node: FILE/TYPE_DECL/METHOD resolve through
+        their (possibly enclosing) NAMESPACE_BLOCK's REF edge; a FILE
+        resolves through blocks attached via SOURCE_FILE."""
+        out = []
+        for n in self.nodes:
+            blocks = []
+            if n.label == "FILE":
+                blocks = [e.src for e in self.cpg.inn(n, "SOURCE_FILE")
+                          if e.src.label == "NAMESPACE_BLOCK"]
+            else:
+                cur = n if n.label == "NAMESPACE_BLOCK" else self.cpg.ast_parent(n)
+                while cur is not None and cur.label != "NAMESPACE_BLOCK":
+                    cur = self.cpg.ast_parent(cur)
+                if cur is not None:
+                    blocks = [cur]
+            for b in blocks:
+                out.extend(e.dst for e in self.cpg.out(b, "REF")
+                           if e.dst.label == "NAMESPACE")
+        return Steps(self.cpg, out)
+
+    def file(self) -> "Steps":
+        """FILE of the node: SOURCE_FILE out-edge, or the enclosing
+        method's/typedecl's file for expressions."""
+        out = []
+        for n in self.nodes:
+            cur = n
+            while cur is not None:
+                files = [e.dst for e in self.cpg.out(cur, "SOURCE_FILE")]
+                if files:
+                    out.extend(files)
+                    break
+                cur = self.cpg.ast_parent(cur)
+        return Steps(self.cpg, out)
+
+    def contained_type_decls(self) -> "Steps":
+        """TYPE_DECLs of a FILE (via SOURCE_FILE in-edges) or AST children
+        of a NAMESPACE_BLOCK / REF-in blocks of a NAMESPACE."""
+        out = []
+        for n in self.nodes:
+            if n.label == "FILE":
+                out.extend(e.src for e in self.cpg.inn(n, "SOURCE_FILE")
+                           if e.src.label == "TYPE_DECL")
+            elif n.label == "NAMESPACE_BLOCK":
+                out.extend(c for c in self.cpg.ast_children(n)
+                           if c.label == "TYPE_DECL")
+            elif n.label == "NAMESPACE":
+                for e in self.cpg.inn(n, "REF"):
+                    if e.src.label == "NAMESPACE_BLOCK":
+                        out.extend(c for c in self.cpg.ast_children(e.src)
+                                   if c.label == "TYPE_DECL")
+        return Steps(self.cpg, out)
+
+    def top_level_expressions(self) -> "Steps":
+        """MethodTraversal.topLevelExpressions: the body block's direct
+        expression children."""
+        out = []
+        for n in self.nodes:
+            for block in self.cpg.ast_children(n):
+                if block.label != "BLOCK":
+                    continue
+                out.extend(c for c in self.cpg.ast_children(block)
+                           if c.is_expression and c.label != "BLOCK")
+        return Steps(self.cpg, out)
+
+    def literal_in(self) -> "Steps":
+        """MethodTraversal.literal: literals within the method body."""
+        out = []
+        for n in self.nodes:
+            out.extend(x for x in self.cpg.method_body_nodes(n)
+                       if x.label == "LITERAL")
+        return Steps(self.cpg, out)
+
+    def content(self) -> list[str]:
+        """Method.content: the [offset, offsetEnd) slice of the node's
+        FILE content (only when both the span and the file exist)."""
+        out = []
+        for n in self.nodes:
+            if n.start is None or n.end is None:
+                continue
+            files = Steps(self.cpg, [n]).file().l()
+            if not files or not files[0].content:
+                continue
+            out.append(files[0].content[n.start:n.end])
+        return out
+
     def location(self) -> list[tuple[str, str, int]]:
         """(filename, method name, line) per node (NodeSteps.location)."""
         out = []
@@ -528,6 +639,11 @@ class Q:
     def namespace_block(self) -> Steps:
         return Steps(self.cpg, [n for n in self.cpg.nodes
                                 if n.label == "NAMESPACE_BLOCK"])
+
+    def namespace(self, regex: str | None = None) -> Steps:
+        s = Steps(self.cpg, [n for n in self.cpg.nodes
+                             if n.label == "NAMESPACE"])
+        return s.name(regex) if regex else s
 
     def control_structure(self, cs_type: str | None = None) -> Steps:
         s = Steps(self.cpg, [n for n in self.cpg.nodes

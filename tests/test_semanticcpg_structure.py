@@ -1,0 +1,248 @@
+"""Ported reference goldens: the semanticcpg structure suites over the
+MockCpg fixture port — MemberTests, FileTests, NamespaceTests,
+MethodParameterTests, MethodTests
+(semanticcpg/src/test/.../language/types/structure/*.scala)."""
+
+from __future__ import annotations
+
+from joern_spark.query.cpgql import Q
+
+from tests.mock_cpg import MockCpg
+
+
+# ---------------------------------------------------------------------------
+# MemberTests.scala
+# ---------------------------------------------------------------------------
+
+def _member_cpg():
+    return MockCpg().with_type_decl("foo").cpg
+
+
+def test_member_find():
+    cpg = _member_cpg()
+    assert {n.name for n in Q(cpg).member().l()} == {"amember"}
+
+
+def test_member_filter_by_modifier():
+    cpg = _member_cpg()
+    assert {n.name for n in Q(cpg).member().has_modifier("STATIC").l()} \
+        == {"amember"}
+
+
+# ---------------------------------------------------------------------------
+# FileTests.scala
+# ---------------------------------------------------------------------------
+
+FILE_NAME = "io/shiftleft/testcode/file/FileTest.java"
+
+
+def _file_cpg():
+    return (MockCpg()
+            .with_file(FILE_NAME)
+            .with_namespace("io.shiftleft.testcode.file", in_file=FILE_NAME)
+            .with_type_decl("FileTest", in_file=FILE_NAME,
+                            in_namespace="io.shiftleft.testcode.file")
+            .with_method("method", in_type_decl="FileTest")
+            .cpg)
+
+
+def test_file_found():
+    cpg = _file_cpg()
+    assert FILE_NAME in [n.name for n in Q(cpg).file().l()]
+
+
+def test_file_expand_to_type_decl():
+    cpg = _file_cpg()
+    (td,) = Q(cpg).file().name_exact(FILE_NAME).contained_type_decls().l()
+    assert td.name == "FileTest"
+
+
+def test_file_expand_to_namespace():
+    cpg = _file_cpg()
+    (ns,) = Q(cpg).file().name_exact(FILE_NAME).namespace().l()
+    assert ns.name == "io.shiftleft.testcode.file"
+
+
+def test_method_return_file():
+    cpg = _file_cpg()
+    # the method has no SOURCE_FILE of its own; its return resolves
+    # through the defining type decl's file
+    (f,) = (Q(cpg).method().name("method").method_return().file()
+            .dedup().l())
+    assert f.name == FILE_NAME
+
+
+# ---------------------------------------------------------------------------
+# NamespaceTests.scala
+# ---------------------------------------------------------------------------
+
+def _ns_cpg():
+    return (MockCpg()
+            .with_file("filename.c")
+            .with_namespace("io.shiftleft.testcode.namespace",
+                            in_file="filename.c")
+            .with_type_decl("NamespaceTest",
+                            in_namespace="io.shiftleft.testcode.namespace")
+            .cpg)
+
+
+def test_namespace_found():
+    cpg = _ns_cpg()
+    assert "io.shiftleft.testcode.namespace" in \
+        [n.name for n in Q(cpg).namespace().l()]
+
+
+def test_namespace_block_found():
+    cpg = _ns_cpg()
+    assert "io.shiftleft.testcode.namespace" in \
+        [n.name for n in Q(cpg).namespace_block().l()]
+
+
+def test_namespace_block_to_type_decl():
+    cpg = _ns_cpg()
+    tds = (Q(cpg).namespace_block()
+           .name_exact("io.shiftleft.testcode.namespace")
+           .contained_type_decls().l())
+    assert "NamespaceTest" in [n.name for n in tds]
+
+
+def test_namespace_to_type_decl():
+    cpg = _ns_cpg()
+    tds = (Q(cpg).namespace("io.shiftleft.testcode.namespace")
+           .contained_type_decls().l())
+    assert len(tds) == 1
+    assert tds[0].name == "NamespaceTest"
+
+
+def test_namespace_to_file():
+    cpg = _ns_cpg()
+    # namespace → its REF-in blocks → SOURCE_FILE
+    (ns,) = Q(cpg).namespace("io.shiftleft.testcode.namespace").l()
+    blocks = [e.src for e in cpg.inn(ns, "REF")]
+    files = [e.dst for b in blocks for e in cpg.out(b, "SOURCE_FILE")]
+    assert [f.name for f in files] == ["filename.c"]
+
+
+# ---------------------------------------------------------------------------
+# MethodParameterTests.scala
+# ---------------------------------------------------------------------------
+
+def _param_cpg():
+    return MockCpg().with_method("foo").cpg
+
+
+def test_all_parameters():
+    cpg = _param_cpg()
+    args = Q(cpg).method().name("foo").parameter().l()
+    assert len(args) == 1
+    s = Q(cpg).method().name("foo").parameter()
+    assert [t.name for t in s.typ().l()] == ["paramtype"]
+
+
+def test_parameter_filter_by_name():
+    cpg = _param_cpg()
+    assert Q(cpg).method().parameter().name(".*").size() == 1
+
+
+def test_parameter_by_index():
+    cpg = _param_cpg()
+    s = Q(cpg).method().name("foo").parameter()
+    assert [t.name for t in s.index(1).typ().l()] == ["paramtype"]
+    assert {t.name for t in s.index_from(1).typ().l()} == {"paramtype"}
+    assert {t.name for t in s.index_to(2).typ().l()} == {"paramtype"}
+
+
+def test_parameter_to_method():
+    cpg = _param_cpg()
+    methods = Q(cpg).method().name("foo").parameter().index(1).method().l()
+    assert len(methods) == 1
+    assert methods[0].name == "foo"
+
+
+# ---------------------------------------------------------------------------
+# MethodTests.scala
+# ---------------------------------------------------------------------------
+
+def _method_cpg():
+    def add_cfg(cpg):
+        (method,) = [n for n in cpg.methods() if n.name == "foo"]
+        (call,) = [n for n in cpg.nodes_by_label("CALL") if n.name == "call"]
+        ret = cpg.method_return(method)
+        cpg.add_edge(method, call, "CFG")
+        cpg.add_edge(call, ret, "CFG")
+
+    return (MockCpg()
+            .with_namespace("namespace")
+            .with_file("someFile", content="aaaCONTENTbbb")
+            .with_type_decl("TypeDecl", in_namespace="namespace")
+            .with_method("foo", in_type_decl="TypeDecl",
+                         file_name="someFile", offset=3, offset_end=10)
+            .with_method("bar", in_type_decl="TypeDecl", external=True)
+            .with_call_in_method("foo", "call")
+            .with_call_in_method("foo", "call2")
+            .with_literal_argument("call", "literal")
+            .with_custom(add_cfg)
+            .cpg)
+
+
+def test_method_defining_type_decl():
+    cpg = _method_cpg()
+    (td,) = Q(cpg).method().name("foo").defining_type_decl().l()
+    assert td.name == "TypeDecl"
+
+
+def test_method_literal():
+    cpg = _method_cpg()
+    (lit,) = Q(cpg).method().name("foo").literal_in().l()
+    assert lit.code == "literal"
+
+
+def test_method_namespace():
+    cpg = _method_cpg()
+    assert {n.name for n in Q(cpg).method().name("foo").namespace().l()} \
+        == {"namespace"}
+
+
+def test_method_filter_by_name():
+    cpg = _method_cpg()
+    for rx in ("foo", ".*foo.*"):
+        (m,) = Q(cpg).method().name(rx).l()
+        assert (m.name, m.full_name) == ("foo", "foo")
+
+
+def test_method_top_level_expressions():
+    cpg = _method_cpg()
+    exprs = Q(cpg).method().name("foo").top_level_expressions().l()
+    assert {e.code for e in exprs} == {"call", "call2"}
+
+
+def test_method_cfg_first_last():
+    cpg = _method_cpg()
+    (first,) = Q(cpg).method().name("foo").cfg_first().l()
+    assert first.code == "call"
+    (last,) = Q(cpg).method().name("foo").cfg_last().l()
+    assert last.code == "call"
+
+
+def test_method_external_internal():
+    cpg = _method_cpg()
+    externals = [m.full_name for m in Q(cpg).method().external().l()]
+    internals = [m.full_name for m in Q(cpg).method().internal().l()]
+    assert "bar" in externals
+    assert "bar" not in internals
+    assert "foo" in internals
+    (bar,) = Q(cpg).method().name("bar").l()
+    assert bar.is_external is True
+    (foo,) = Q(cpg).method().name("foo").l()
+    assert foo.is_external is False
+
+
+def test_method_has_modifier():
+    cpg = _method_cpg()
+    assert Q(cpg).method().name("foo").has_modifier("modifiertype").size() == 1
+
+
+def test_method_content():
+    cpg = _method_cpg()
+    assert Q(cpg).method().name("foo").content() == ["CONTENT"]
+    assert Q(cpg).method().name("bar").content() == []
