@@ -337,6 +337,32 @@ class Steps:
             s = s.cfg_next()
         return s
 
+    def cfg_next_rec(self, depth: int) -> "Steps":
+        """cfgNext(n): ALL CFG successors within n hops, nearest first
+        (CfgNodeTraversal.scala)."""
+        out, cur = [], self
+        for _ in range(depth):
+            cur = cur.cfg_next().dedup()
+            out.extend(cur.l())
+        return Steps(self.cpg, out).dedup()
+
+    def cfg_prev_rec(self, depth: int) -> "Steps":
+        """cfgPrev(n): ALL CFG predecessors within n hops, nearest first."""
+        out, cur = [], self
+        for _ in range(depth):
+            cur = cur.cfg_prev().dedup()
+            out.extend(cur.l())
+        return Steps(self.cpg, out).dedup()
+
+    def calls(self, regex: str | None = None) -> "Steps":
+        """MethodTraversal.call: CALL nodes within the method body."""
+        out = []
+        for n in self.nodes:
+            out.extend(x for x in self.cpg.method_body_nodes(n)
+                       if x.label == "CALL")
+        s = Steps(self.cpg, out)
+        return s.name(regex) if regex else s
+
     def cfg_first(self) -> "Steps":
         return self.cfg_next()
 

@@ -246,3 +246,106 @@ def test_method_content():
     cpg = _method_cpg()
     assert Q(cpg).method().name("foo").content() == ["CONTENT"]
     assert Q(cpg).method().name("bar").content() == []
+
+
+# ---------------------------------------------------------------------------
+# ControlStructureTraversalTests.scala (TRUE_BODY/FALSE_BODY preferred
+# over AST child order)
+# ---------------------------------------------------------------------------
+
+def test_when_true_false_prefer_typed_edges():
+    from joern_spark.cpg.core import Node
+
+    def wire(cpg):
+        (method,) = [n for n in cpg.methods() if n.name == "f"]
+        (block,) = [c for c in cpg.ast_children(method)
+                    if c.label == "BLOCK"]
+        cs = cpg.add_node(Node("CONTROL_STRUCTURE",
+                               control_structure_type="IF", order=1))
+        cond = cpg.add_node(Node("LITERAL", code="cond", order=1))
+        # intentionally inverted: order(2) carries "legacy-true" and
+        # order(3) "legacy-false" so the typed edges must win
+        false_body = cpg.add_node(Node("BLOCK", code="legacy-true", order=2))
+        true_body = cpg.add_node(Node("BLOCK", code="legacy-false", order=3))
+        cpg.add_edge(block, cs, "AST")
+        cpg.add_edge(cs, cond, "AST")
+        cpg.add_edge(cs, false_body, "AST")
+        cpg.add_edge(cs, true_body, "AST")
+        cpg.add_edge(cs, cond, "CONDITION")
+        cpg.add_edge(cs, true_body, "TRUE_BODY")
+        cpg.add_edge(cs, false_body, "FALSE_BODY")
+
+    cpg = MockCpg().with_method("f").with_custom(wire).cpg
+    (cs,) = Q(cpg).control_structure("IF").l()
+    s = Q(cpg).control_structure("IF")
+    assert [n.code for n in s.when_true().l()] == ["legacy-false"]
+    assert [n.code for n in s.when_false().l()] == ["legacy-true"]
+
+
+# ---------------------------------------------------------------------------
+# ExpressionTraversalTests.scala (cfgNext/cfgPrev over expressions)
+# ---------------------------------------------------------------------------
+
+def _cfg_cpg(n_calls=2, fork_to_return_at=None):
+    from joern_spark.cpg.core import Node  # noqa: F401
+
+    def wire(cpg):
+        (method,) = [n for n in cpg.methods()
+                     if n.name == "methodForCfgTest"]
+        calls = {n.name: n for n in cpg.nodes_by_label("CALL")}
+        chain = [method] + [calls[f"call{i}"] for i in range(1, n_calls + 1)]
+        for a, b in zip(chain, chain[1:]):
+            cpg.add_edge(a, b, "CFG")
+        ret = cpg.method_return(method)
+        src = calls[f"call{fork_to_return_at}"] if fork_to_return_at \
+            else chain[-1]
+        cpg.add_edge(src, ret, "CFG")
+
+    mc = MockCpg().with_method("methodForCfgTest")
+    for i in range(1, n_calls + 1):
+        mc = mc.with_call_in_method("methodForCfgTest", f"call{i}")
+    return mc.with_custom(wire).cpg
+
+
+def test_expression_cfg_next():
+    cpg = _cfg_cpg()
+    (x,) = (Q(cpg).method().name("methodForCfgTest").cfg_first()
+            .cfg_next().is_call().l())
+    assert x.name == "call2"
+
+
+def test_expression_cfg_prev_of_first_empty():
+    cpg = _cfg_cpg()
+    assert (Q(cpg).method().name("methodForCfgTest").cfg_first()
+            .cfg_prev().is_expression().size()) == 0
+
+
+def test_expression_cfg_prev():
+    cpg = _cfg_cpg()
+    (x,) = (Q(cpg).method().name("methodForCfgTest").cfg_last()
+            .cfg_prev().is_call().l())
+    assert x.name == "call1"
+
+
+def test_expression_cfg_next_of_last_empty():
+    cpg = _cfg_cpg()
+    assert (Q(cpg).method().name("methodForCfgTest").cfg_last()
+            .cfg_next().is_expression().size()) == 0
+
+
+# ---------------------------------------------------------------------------
+# CfgNodeTraversalTests.scala (recursive cfgNext(n)/cfgPrev(n))
+# ---------------------------------------------------------------------------
+
+def test_cfg_prev_recursive():
+    cpg = _cfg_cpg(n_calls=3, fork_to_return_at=2)
+    names = [n.name for n in (Q(cpg).method().calls("call3")
+                              .cfg_prev_rec(2).is_call().l())]
+    assert names == ["call2", "call1"]
+
+
+def test_cfg_next_recursive():
+    cpg = _cfg_cpg(n_calls=3, fork_to_return_at=2)
+    names = [n.name for n in (Q(cpg).method().calls("call1")
+                              .cfg_next_rec(2).is_call().l())]
+    assert names == ["call2", "call3"]
