@@ -44,13 +44,36 @@ FIELD_ACCESS_NAMES = {
     "<operator>.fieldAccess", "<operator>.indirectFieldAccess",
 }
 
+# operatorextension package.scala:9-20 — operators that both assign and
+# compute; note the reference lists postIncrement twice and omits
+# postDecrement (mirrored faithfully)
+ASSIGNMENT_AND_ARITHMETIC = {
+    "<operator>.assignmentDivision", "<operator>.assignmentExponentiation",
+    "<operator>.assignmentPlus", "<operator>.assignmentMinus",
+    "<operator>.assignmentModulo", "<operator>.assignmentMultiplication",
+    "<operator>.preIncrement", "<operator>.preDecrement",
+    "<operator>.postIncrement",
+}
+
 ALL_ASSIGNMENT_TYPES = {
     "<operator>.assignment", "<operator>.assignmentOr", "<operator>.assignmentAnd",
-    "<operator>.assignmentXor", "<operator>.assignmentDivision",
-    "<operator>.assignmentExponentiation", "<operator>.assignmentModulo",
-    "<operator>.assignmentMultiplication", "<operator>.assignmentPlus",
-    "<operator>.assignmentMinus", "<operator>.assignmentShiftLeft",
+    "<operator>.assignmentXor", "<operator>.assignmentShiftLeft",
     "<operator>.assignmentArithmeticShiftRight", "<operator>.assignmentLogicalShiftRight",
+} | ASSIGNMENT_AND_ARITHMETIC
+
+ALL_ARITHMETIC_TYPES = {
+    "<operator>.addition", "<operator>.subtraction", "<operator>.division",
+    "<operator>.multiplication", "<operator>.exponentiation",
+    "<operator>.modulo",
+} | ASSIGNMENT_AND_ARITHMETIC
+
+ALL_ARRAY_ACCESS_TYPES = {
+    "<operator>.computedMemberAccess", "<operator>.indirectComputedMemberAccess",
+    "<operator>.indexAccess", "<operator>.indirectIndexAccess",
+}
+
+ALL_FIELD_ACCESS_TYPES = {
+    "<operator>.fieldAccess", "<operator>.indirectFieldAccess",
 }
 
 

@@ -12,7 +12,10 @@ from __future__ import annotations
 import re
 from typing import Callable, Iterable
 
-from joern_spark.cpg.core import ALL_ASSIGNMENT_TYPES, Cpg, Node
+from joern_spark.cpg.core import (
+    ALL_ARITHMETIC_TYPES, ALL_ARRAY_ACCESS_TYPES, ALL_ASSIGNMENT_TYPES,
+    ALL_FIELD_ACCESS_TYPES, Cpg, Node,
+)
 
 
 class Steps:
@@ -563,18 +566,13 @@ class Steps:
              "line": n.line} for n in self.nodes])
 
     # --- operator views (operatorextension package.scala:5-55) -----------------
-    ARITHMETIC_NAMES = {
-        "<operator>.addition", "<operator>.subtraction",
-        "<operator>.multiplication", "<operator>.division", "<operator>.modulo",
-        "<operator>.exponentiation",
-    }
-
     def arithmetic(self) -> "Steps":
-        return self.filter(lambda n: n.label == "CALL" and n.name in Steps.ARITHMETIC_NAMES)
+        return self.filter(lambda n: n.label == "CALL"
+                           and n.name in ALL_ARITHMETIC_TYPES)
 
     def array_access(self) -> "Steps":
         return self.filter(lambda n: n.label == "CALL"
-                           and n.name == "<operator>.indexAccess")
+                           and n.name in ALL_ARRAY_ACCESS_TYPES)
 
     def target(self) -> "Steps":
         """assignment target = argument(1) (AssignmentTraversal.scala:13-16)."""
@@ -604,7 +602,46 @@ class Steps:
         return self.filter(lambda n: n.label == "CALL" and n.name in ALL_ASSIGNMENT_TYPES)
 
     def field_access(self) -> "Steps":
-        return self.filter(lambda n: n.label == "CALL" and n.name == "<operator>.fieldAccess")
+        return self.filter(lambda n: n.label == "CALL"
+                           and n.name in ALL_FIELD_ACCESS_TYPES)
+
+    # --- binding extension (bindingextension Binding/TypeDecl/Method) -------
+    def method_binding(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            out.extend(e.dst for e in self.cpg.out(n, "BINDS")
+                       if e.dst.label == "BINDING")
+        return Steps(self.cpg, out)
+
+    def bound_method(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            if n.label == "BINDING":
+                out.extend(e.dst for e in self.cpg.out(n, "REF")
+                           if e.dst.label == "METHOD")
+            elif n.label == "TYPE_DECL":
+                for e in self.cpg.out(n, "BINDS"):
+                    out.extend(e2.dst for e2 in self.cpg.out(e.dst, "REF")
+                               if e2.dst.label == "METHOD")
+        return Steps(self.cpg, out)
+
+    def referencing_binding(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            out.extend(e.src for e in self.cpg.inn(n, "REF")
+                       if e.src.label == "BINDING")
+        return Steps(self.cpg, out)
+
+    def binding_type_decl(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            bindings = ([n] if n.label == "BINDING"
+                        else [e.src for e in self.cpg.inn(n, "REF")
+                              if e.src.label == "BINDING"])
+            for b in bindings:
+                out.extend(e.src for e in self.cpg.inn(b, "BINDS")
+                           if e.src.label == "TYPE_DECL")
+        return Steps(self.cpg, out)
 
     def field_identifier(self) -> "Steps":
         out = []
@@ -653,7 +690,23 @@ class Q:
 
     def field_access(self) -> Steps:
         return Steps(self.cpg, [n for n in self.cpg.nodes
-                                if n.label == "CALL" and n.name == "<operator>.fieldAccess"])
+                                if n.label == "CALL"
+                                and n.name in ALL_FIELD_ACCESS_TYPES])
+
+    def assignment(self) -> Steps:
+        return Steps(self.cpg, [n for n in self.cpg.nodes
+                                if n.label == "CALL"
+                                and n.name in ALL_ASSIGNMENT_TYPES])
+
+    def arithmetic(self) -> Steps:
+        return Steps(self.cpg, [n for n in self.cpg.nodes
+                                if n.label == "CALL"
+                                and n.name in ALL_ARITHMETIC_TYPES])
+
+    def array_access(self) -> Steps:
+        return Steps(self.cpg, [n for n in self.cpg.nodes
+                                if n.label == "CALL"
+                                and n.name in ALL_ARRAY_ACCESS_TYPES])
 
     def type_decl(self, regex: str | None = None) -> Steps:
         s = Steps(self.cpg, [n for n in self.cpg.nodes if n.label == "TYPE_DECL"])

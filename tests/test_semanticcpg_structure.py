@@ -349,3 +349,105 @@ def test_cfg_next_recursive():
     names = [n.name for n in (Q(cpg).method().calls("call1")
                               .cfg_next_rec(2).is_call().l())]
     assert names == ["call2", "call3"]
+
+
+# ---------------------------------------------------------------------------
+# BindingTests.scala (binding extension steps)
+# ---------------------------------------------------------------------------
+
+def _binding_cpg():
+    from joern_spark.cpg.core import Node
+
+    def wire(cpg):
+        (td,) = [n for n in cpg.nodes_by_label("TYPE_DECL")
+                 if n.name == "BindingTest"]
+        init = next(n for n in cpg.methods() if n.name == "<init>")
+        bound = next(n for n in cpg.methods() if n.name == "boundMethod")
+        b1 = cpg.add_node(Node("BINDING", name="<init>"))
+        b2 = cpg.add_node(Node("BINDING", name="boundMethod"))
+        cpg.add_edge(td, b1, "BINDS")
+        cpg.add_edge(td, b2, "BINDS")
+        cpg.add_edge(b1, init, "REF")
+        cpg.add_edge(b2, bound, "REF")
+
+    return (MockCpg()
+            .with_type_decl("BindingTest")
+            .with_method("<init>")
+            .with_method("boundMethod")
+            .with_custom(wire)
+            .cpg)
+
+
+def test_binding_steps():
+    cpg = _binding_cpg()
+    td = Q(cpg).type_decl("BindingTest")
+    assert sorted(b.name for b in td.method_binding().l()) \
+        == ["<init>", "boundMethod"]
+    assert sorted(m.name for m in td.method_binding().bound_method().l()) \
+        == ["<init>", "boundMethod"]
+    assert [b.name for b in
+            Q(cpg).method().name("boundMethod").referencing_binding().l()] \
+        == ["boundMethod"]
+    assert [t.name for t in (Q(cpg).method().name("boundMethod")
+                             .referencing_binding().binding_type_decl().l())] \
+        == ["BindingTest"]
+    assert sorted(m.name for m in td.bound_method().l()) \
+        == ["<init>", "boundMethod"]
+    assert [t.name for t in
+            Q(cpg).method().name("boundMethod").binding_type_decl().l()] \
+        == ["BindingTest"]
+
+
+# ---------------------------------------------------------------------------
+# OperatorExtensionTests.scala (operator views + starters)
+# ---------------------------------------------------------------------------
+
+def _op_cpg(name, code):
+    return (MockCpg()
+            .with_method("method")
+            .with_call_in_method("method", name, code=code)
+            .cpg)
+
+
+def test_operator_assignment_starter():
+    cpg = _op_cpg("<operator>.assignment", "x = 10")
+    (x,) = Q(cpg).assignment().l()
+    assert (x.name, x.code) == ("<operator>.assignment", "x = 10")
+
+
+def test_operator_arithmetic_starter():
+    cpg = _op_cpg("<operator>.addition", "10 + 20")
+    (x,) = Q(cpg).arithmetic().l()
+    assert (x.name, x.code) == ("<operator>.addition", "10 + 20")
+
+
+def test_operator_plus_equals_in_both():
+    cpg = _op_cpg("<operator>.assignmentPlus", "x += 10")
+    (y,) = Q(cpg).arithmetic().l()
+    (x,) = Q(cpg).assignment().l()
+    assert x.id == y.id
+    assert (x.name, x.code) == ("<operator>.assignmentPlus", "x += 10")
+
+
+def test_operator_array_access_starter():
+    cpg = _op_cpg("<operator>.indexAccess", "x[i]")
+    (x,) = Q(cpg).array_access().l()
+    assert (x.name, x.code) == ("<operator>.indexAccess", "x[i]")
+
+
+def test_operator_field_access_starter():
+    cpg = _op_cpg("<operator>.fieldAccess", "x.y")
+    (x,) = Q(cpg).field_access().l()
+    assert (x.name, x.code) == ("<operator>.fieldAccess", "x.y")
+
+
+def test_operator_method_views():
+    for name, code, view in (
+            ("<operator>.assignment", "x = 10", "assignment"),
+            ("<operator>.addition", "10 + 20", "arithmetic"),
+            ("<operator>.indexAccess", "x[i]", "array_access"),
+            ("<operator>.fieldAccess", "x.y", "field_access")):
+        cpg = _op_cpg(name, code)
+        s = Q(cpg).method().name("method").ast()
+        (x,) = getattr(s, view)().l()
+        assert (x.name, x.code) == (name, code)
