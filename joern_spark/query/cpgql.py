@@ -605,6 +605,95 @@ class Steps:
         return self.filter(lambda n: n.label == "CALL"
                            and n.name in ALL_FIELD_ACCESS_TYPES)
 
+    # --- type hierarchy (TypeDecl/Type traversals, TypeTests.scala) ----------
+    def member(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            out.extend(c for c in self.cpg.ast_children(n)
+                       if c.label == "MEMBER")
+        return Steps(self.cpg, out)
+
+    def is_static(self) -> "Steps":
+        return self.has_modifier("STATIC")
+
+    def _decl_of(self, n):
+        if n.label == "TYPE_DECL":
+            return n
+        if n.label == "TYPE":
+            for e in self.cpg.out(n, "REF"):
+                if e.dst.label == "TYPE_DECL":
+                    return e.dst
+        return None
+
+    def _type_of(self, n):
+        if n.label == "TYPE":
+            return n
+        if n.label == "TYPE_DECL":
+            for e in self.cpg.inn(n, "REF"):
+                if e.src.label == "TYPE":
+                    return e.src
+        return None
+
+    def base_type_decl(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            for e in self.cpg.out(n, "INHERITS_FROM"):
+                d = self._decl_of(e.dst)
+                if d is not None:
+                    out.append(d)
+        return Steps(self.cpg, out)
+
+    def derived_type_decl(self) -> "Steps":
+        out = []
+        for n in self.nodes:
+            targets = [n, self._type_of(n)]
+            for t in targets:
+                if t is None:
+                    continue
+                out.extend(e.src for e in self.cpg.inn(t, "INHERITS_FROM")
+                           if e.src.label == "TYPE_DECL")
+        return Steps(self.cpg, out).dedup()
+
+    def _hier_transitive(self, step) -> "Steps":
+        out, frontier, seen = [], self, set(n.id for n in self.nodes)
+        for _ in range(64):
+            frontier = step(frontier).filter(lambda n: n.id not in seen)
+            if not frontier.nodes:
+                break
+            seen.update(n.id for n in frontier.nodes)
+            out.extend(frontier.nodes)
+        return Steps(self.cpg, out)
+
+    def base_type_decl_transitive(self) -> "Steps":
+        return self._hier_transitive(Steps.base_type_decl)
+
+    def derived_type_decl_transitive(self) -> "Steps":
+        return self._hier_transitive(Steps.derived_type_decl)
+
+    def base_type(self) -> "Steps":
+        decls = Steps(self.cpg, [d for d in (self._decl_of(n)
+                                             for n in self.nodes)
+                                 if d is not None])
+        out = [t for t in (self._type_of(d)
+                           for d in decls.base_type_decl().l())
+               if t is not None]
+        return Steps(self.cpg, out)
+
+    def derived_type(self) -> "Steps":
+        decls = Steps(self.cpg, [d for d in (self._decl_of(n)
+                                             for n in self.nodes)
+                                 if d is not None])
+        out = [t for t in (self._type_of(d)
+                           for d in decls.derived_type_decl().l())
+               if t is not None]
+        return Steps(self.cpg, out)
+
+    def base_type_transitive(self) -> "Steps":
+        return self._hier_transitive(Steps.base_type)
+
+    def derived_type_transitive(self) -> "Steps":
+        return self._hier_transitive(Steps.derived_type)
+
     # --- binding extension (bindingextension Binding/TypeDecl/Method) -------
     def method_binding(self) -> "Steps":
         out = []
@@ -722,6 +811,11 @@ class Q:
     def namespace(self, regex: str | None = None) -> Steps:
         s = Steps(self.cpg, [n for n in self.cpg.nodes
                              if n.label == "NAMESPACE"])
+        return s.name(regex) if regex else s
+
+    def typ(self, regex: str | None = None) -> Steps:
+        s = Steps(self.cpg, [n for n in self.cpg.nodes
+                             if n.label == "TYPE"])
         return s.name(regex) if regex else s
 
     def control_structure(self, cs_type: str | None = None) -> Steps:

@@ -451,3 +451,88 @@ def test_operator_method_views():
         s = Q(cpg).method().name("method").ast()
         (x,) = getattr(s, view)().l()
         assert (x.name, x.code) == (name, code)
+
+
+# ---------------------------------------------------------------------------
+# TypeTests.scala (class members + type-decl / type hierarchies + content)
+# ---------------------------------------------------------------------------
+
+def _class_cpg():
+    return (MockCpg()
+            .with_type_decl("ClassMemberTest", is_external=False)
+            .with_type_decl("Object", is_external=True)
+            .cpg)
+
+
+def test_type_internal_external():
+    cpg = _class_cpg()
+    assert Q(cpg).type_decl("ClassMemberTest").internal().size() == 1
+    assert Q(cpg).type_decl("Object").external().size() == 1
+
+
+def test_type_members():
+    cpg = _class_cpg()
+    assert (Q(cpg).type_decl("ClassMemberTest").member()
+            .name_exact("amember").size()) == 1
+    assert (Q(cpg).type_decl("ClassMemberTest").member()
+            .name_exact("amember").is_static().size()) == 1
+    assert Q(cpg).type_decl().member().name(".*").size() > 0
+
+
+def _hierarchy_cpg():
+    def wire(cpg):
+        def decl(name):
+            return next(n for n in cpg.nodes_by_label("TYPE_DECL")
+                        if n.name == name)
+
+        def typ(name):
+            return next(n for n in cpg.nodes_by_label("TYPE")
+                        if n.name == name)
+        cpg.add_edge(decl("Derived"), typ("Base"), "INHERITS_FROM")
+        cpg.add_edge(decl("DerivedFromDerived"), typ("Derived"),
+                     "INHERITS_FROM")
+
+    return (MockCpg()
+            .with_type_decl("ClassMemberTest", is_external=False)
+            .with_type_decl("Object", is_external=True)
+            .with_type_decl("Base")
+            .with_type_decl("Derived")
+            .with_type_decl("DerivedFromDerived")
+            .with_custom(wire)
+            .cpg)
+
+
+def test_type_decl_hierarchy():
+    cpg = _hierarchy_cpg()
+    assert (Q(cpg).type_decl(".*Derived").base_type_decl()
+            .name(".*Base").size()) == 1
+    assert (Q(cpg).type_decl(".*Base").derived_type_decl()
+            .name(".*Derived").size()) == 1
+    assert {n.name for n in (Q(cpg).type_decl(".*Base")
+                             .derived_type_decl_transitive().l())} \
+        == {"Derived", "DerivedFromDerived"}
+    assert {n.name for n in (Q(cpg).type_decl("DerivedFromDerived")
+                             .base_type_decl_transitive().l())} \
+        == {"Derived", "Base"}
+
+
+def test_type_hierarchy():
+    cpg = _hierarchy_cpg()
+    assert Q(cpg).typ(".*Derived").base_type().name(".*Base").size() == 1
+    assert Q(cpg).typ(".*Base").derived_type().name(".*Derived").size() == 1
+    assert {n.name for n in
+            Q(cpg).typ(".*Base").derived_type_transitive().l()} \
+        == {"Derived", "DerivedFromDerived"}
+    assert {n.name for n in (Q(cpg).typ("DerivedFromDerived")
+                             .base_type_transitive().l())} \
+        == {"Derived", "Base"}
+
+
+def test_type_decl_content():
+    cpg = (MockCpg()
+           .with_namespace("namespace")
+           .with_file("someFile", content="aaaCONTENTbbb")
+           .with_type_decl("foo", in_namespace="namespace",
+                           in_file="someFile", offset=3, offset_end=10)
+           .cpg)
+    assert Q(cpg).type_decl("foo").content() == ["CONTENT"]
