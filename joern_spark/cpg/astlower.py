@@ -781,7 +781,11 @@ class AstLowerer:
         name = js["id"]["name"]
         full_name = f"{self.filename}:{':'.join(self.scope_name_stack)}:{name}"
         td = Node("TYPE_DECL", name=name, full_name=full_name,
-                  code=f"type {name}", filename=self.filename, **self._pos(js))
+                  code=f"type {name}", filename=self.filename,
+                  # non-object aliases record the aliased type so
+                  # AliasLinkerPass can add the ALIAS_OF edge
+                  alias_type_full_name=js.get("aliased_type") or None,
+                  **self._pos(js))
         td_ast = Ast(td)
         for member in js.get("body") or []:
             if member["type"] != "TSPropertySignature":

@@ -17,7 +17,8 @@ from joern_spark.cpg.core import Cpg
 from joern_spark.cpg.dominators import add_cdg, add_dominators
 from joern_spark.cpg.passes import (
     create_method_stubs, create_namespaces, create_type_decl_stubs,
-    hint_this_identifiers, link_calls, link_dynamic_calls, register_types,
+    hint_this_identifiers, link_aliases, link_calls, link_dynamic_calls,
+    link_field_accesses, register_types,
 )
 from joern_spark.cpg.typerec import run_type_recovery
 from joern_spark.cpg.reachingdef import add_reaching_defs
@@ -48,6 +49,8 @@ def build_cpg(src: str, filename: str = "script.js",
         hint_this_identifiers(cpg)   # `this` → enclosing class/program hint
         register_types(cpg)          # recovered types → TYPE nodes
         create_type_decl_stubs(cpg)  # + external stubs for the new TYPEs
+        link_aliases(cpg)            # ALIAS_OF (AliasLinkerPass)
+        link_field_accesses(cpg)     # fieldAccess → MEMBER REF
     link_dynamic_calls(cpg)  # CHA (DynamicCallLinker, A15)
     link_calls(cpg)          # static + naive/closure fallback (skips linked)
     add_cfg(cpg)
@@ -84,6 +87,8 @@ def build_cpg_files(files: list[tuple[str, str]],
         hint_this_identifiers(cpg)
         register_types(cpg)
         create_type_decl_stubs(cpg)
+        link_aliases(cpg)
+        link_field_accesses(cpg)
     link_dynamic_calls(cpg)
     link_calls(cpg)
     add_cfg(cpg)

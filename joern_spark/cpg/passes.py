@@ -164,6 +164,47 @@ def register_types(cpg: Cpg):
             cpg.add_edge(n, tn, "EVAL_TYPE")
 
 
+def link_aliases(cpg: Cpg):
+    """AliasLinkerPass (x2cpg passes/typerelations/AliasLinkerPass.scala):
+    ALIAS_OF edges from TYPE_DECLs carrying aliasTypeFullName to the
+    aliased TYPE (matched by full name, falling back to the short name
+    for unresolved annotation text)."""
+    types = {}
+    for t in cpg.nodes_by_label("TYPE"):
+        types.setdefault(t.full_name, t)
+        types.setdefault(t.name, t)
+    for td in cpg.nodes_by_label("TYPE_DECL"):
+        a = td.alias_type_full_name
+        if a and a in types and not cpg.out(td, "ALIAS_OF"):
+            cpg.add_edge(td, types[a], "ALIAS_OF")
+
+
+def link_field_accesses(cpg: Cpg):
+    """FieldAccessLinkerPass (x2cpg passes/typerelations/
+    FieldAccessLinkerPass.scala): REF edges from field-access calls to the
+    MEMBER they access, resolved through the base's EVAL_TYPE — enables
+    `fieldAccess.referencedMember`."""
+    from joern_spark.cpg.core import ALL_FIELD_ACCESS_TYPES
+
+    decls = {}
+    for t in cpg.nodes_by_label("TYPE_DECL"):
+        decls.setdefault(t.full_name, t)
+    for call in cpg.nodes_by_label("CALL"):
+        if call.name not in ALL_FIELD_ACCESS_TYPES or cpg.out(call, "REF"):
+            continue
+        args = cpg.arguments(call)
+        if len(args) < 2 or args[1].label != "FIELD_IDENTIFIER":
+            continue
+        field_name = args[1].canonical_name
+        for e in cpg.out(args[0], "EVAL_TYPE"):
+            td = decls.get(e.dst.full_name)
+            if td is None:
+                continue
+            for mem in cpg.ast_children(td):
+                if mem.label == "MEMBER" and mem.name == field_name:
+                    cpg.add_edge(call, mem, "REF")
+
+
 def create_type_decl_stubs(cpg: Cpg):
     """TypeDeclStubCreator (x2cpg passes/base/TypeDeclStubCreator.scala:
     14-36): every TYPE node without a same-fullName TYPE_DECL gets an

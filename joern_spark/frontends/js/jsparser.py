@@ -378,14 +378,17 @@ class Parser:
             aid = self.parse_identifier()
             self.eat("=")
             members = None
+            aliased = None
             if self.at("{"):
                 members = self._parse_type_members()
             else:
+                t0 = self.peek().start
                 self._skip_type_annotation()
+                aliased = self.src[t0:self.toks[self.pos - 1].end].strip()
             end = self.toks[self.pos - 1].end
             self.semicolon()
             return self.node("TSTypeAliasDeclaration", t.start, end, id=aid,
-                             body=members)
+                             body=members, aliased_type=aliased)
         if (k == "id" and t.value == "enum" and self.peek(1).kind == "id"
                 and self.peek(2).value == "{"):
             self.eat()

@@ -694,6 +694,21 @@ class Steps:
     def derived_type_transitive(self) -> "Steps":
         return self._hier_transitive(Steps.derived_type)
 
+    def referenced_member(self) -> "Steps":
+        """fieldAccess.referencedMember (FieldAccessLinkerPass REF edges)."""
+        out = []
+        for n in self.nodes:
+            out.extend(e.dst for e in self.cpg.out(n, "REF")
+                       if e.dst.label == "MEMBER")
+        return Steps(self.cpg, out)
+
+    def alias_of(self) -> "Steps":
+        """TYPE_DECL.aliasedType via ALIAS_OF (AliasLinkerPass)."""
+        out = []
+        for n in self.nodes:
+            out.extend(e.dst for e in self.cpg.out(n, "ALIAS_OF"))
+        return Steps(self.cpg, out)
+
     # --- binding extension (bindingextension Binding/TypeDecl/Method) -------
     def method_binding(self) -> "Steps":
         out = []

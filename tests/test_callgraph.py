@@ -107,3 +107,37 @@ def test_namespace_aggregation_nodes():
     for b in blocks:
         refs = [e.dst for e in cpg.out(b, "REF")]
         assert refs == [spaces[b.name]], b.name
+
+
+def test_alias_linker_pass():
+    """AliasLinkerPass (x2cpg passes/typerelations/AliasLinkerPass.scala):
+    `type Alias = Pt` carries aliasTypeFullName and links ALIAS_OF to the
+    aliased TYPE."""
+    from joern_spark.cpg.build import build_cpg
+    from joern_spark.query.cpgql import Q
+
+    cpg = build_cpg("class Pt { }\ntype Alias = Pt;\nvar p = new Pt();",
+                    "t.ts")
+    (td,) = [n for n in cpg.nodes_by_label("TYPE_DECL") if n.name == "Alias"]
+    assert td.alias_type_full_name == "Pt"
+    (aliased,) = Q(cpg).type_decl("Alias").alias_of().l()
+    assert aliased.label == "TYPE" and aliased.name == "Pt"
+
+
+def test_field_access_linker_pass():
+    """FieldAccessLinkerPass (x2cpg passes/typerelations/
+    FieldAccessLinkerPass.scala): `u.name` REF-links to the MEMBER of the
+    base's recovered type — cpg.fieldAccess.referencedMember."""
+    from joern_spark.cpg.build import build_cpg
+    from joern_spark.query.cpgql import Q
+
+    cpg = build_cpg("""
+class User {
+  name: string = "n";
+}
+var u = new User();
+var z = u.name;
+""", "t.ts")
+    members = (Q(cpg).field_access().code("u\\.name")
+               .referenced_member().l())
+    assert [m.name for m in members] == ["name"]
