@@ -18,6 +18,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True)
     ap.add_argument("--sarif", help="also write a SARIF 2.1.0 file here")
+    ap.add_argument("--sarif-evidence",
+                    help="write evidence-grade SARIF (per-match locations "
+                         "+ code flows) here")
     args = ap.parse_args()
 
     spark = get_spark(app_name="joern-spark-scan")
@@ -28,6 +31,13 @@ def main():
     if args.sarif:
         with open(args.sarif, "w") as f:
             f.write(findings_sarif(findings))
+    if args.sarif_evidence:
+        import json
+
+        from joern_spark.query.sarif import scan_evidence_sarif
+        with open(args.sarif_evidence, "w") as f:
+            json.dump(scan_evidence_sarif(
+                spark.read.parquet(args.pages)), f)
 
 
 if __name__ == "__main__":

@@ -129,3 +129,30 @@ def test_document_findings_end_to_end():
     ev = next(r for r in results if r["ruleId"] == "eval-like-call")
     snippet = ev["locations"][0]["physicalLocation"]["region"]["snippet"]
     assert "eval" in snippet["text"]
+
+
+def test_scan_evidence_sarif_spark():
+    """Distributed evidence SARIF: one mapInPandas pass builds+scans+
+    converts per document; the driver merges runs."""
+    import pytest
+    spark = pytest.importorskip("pyspark.sql").SparkSession.getActiveSession()
+    if spark is None:
+        from joern_spark.session import get_spark
+        spark = get_spark(app_name="sarif-test", master="local[2]",
+                          shuffle_partitions=2)
+    from joern_spark.query.sarif import scan_evidence_sarif
+    from joern_spark.sources.corpus import make_pages
+
+    pages = make_pages(spark, n_docs=32, n_partitions=2)
+    doc = scan_evidence_sarif(pages)
+    assert doc["version"] == "2.1.0"
+    results = doc["runs"][0]["results"]
+    assert len(results) > 0
+    # every result carries a real location with the page url as uri
+    with_loc = [r for r in results if r["locations"]]
+    assert with_loc
+    uri = with_loc[0]["locations"][0]["physicalLocation"][
+        "artifactLocation"]["uri"]
+    assert uri.startswith("https://")
+    rule_ids = {r["id"] for r in doc["runs"][0]["tool"]["driver"]["rules"]}
+    assert {r["ruleId"] for r in results} <= rule_ids
