@@ -57,3 +57,17 @@ def test_graphson_valid_and_typed(spark, graph):
     assert e0["@type"] == "g:Edge"
     assert e0["@value"]["label"] == "CFG"
     assert isinstance(e0["@value"]["outV"]["@value"], int)
+
+
+def test_method_dot_frames(spark):
+    """Per-method dot export: one DotSerializer-format digraph per
+    internal method, rendered distributed."""
+    from joern_spark.query.export import method_dot_frames
+    from joern_spark.sources.corpus import make_pages
+
+    pages = make_pages(spark, n_docs=16, n_partitions=2)
+    rows = method_dot_frames(pages, "cfg").collect()
+    assert len(rows) > 0
+    assert all(r.dot.startswith("digraph ") and r.dot.endswith("}\n")
+               for r in rows)
+    assert any(":program" in r.method_full_name for r in rows)
