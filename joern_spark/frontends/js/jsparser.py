@@ -1709,7 +1709,15 @@ def _mk(src, typ, start, end, **kw):
 
 def _parse_jsx(src, i):
     """Parse a JSX element/fragment starting at src[i] == '<'.
-    Returns (node, end_offset)."""
+    Returns (node, end_offset).  Truncated input surfaces as ParseError,
+    never IndexError — per-file/projected recovery catches ParseError."""
+    try:
+        return _parse_jsx_inner(src, i)
+    except IndexError:
+        raise ParseError(f"unterminated JSX at {i}") from None
+
+
+def _parse_jsx_inner(src, i):
     start = i
     assert src[i] == "<"
     i = _jsx_skip_ws(src, i + 1)

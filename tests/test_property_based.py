@@ -94,3 +94,29 @@ def test_scan_never_crashes(src):
     for query in default_bundle():
         n = query.matcher(cpg, q)
         assert n >= 0
+
+
+# robustness: arbitrary garbage must terminate quickly (parse or raise) —
+# an infinite lexer/parser loop inside the build UDF would stall an
+# executor core at corpus scale, which is worse than any parse error
+@settings(max_examples=150, deadline=2000)
+@given(st.text(
+    alphabet="(){}[]<>=,;.\"'`abcXY_123 \n\\/*-+?:!&|%$#@~^\t",
+    max_size=160))
+def test_parser_terminates_on_garbage(src):
+    from joern_spark.frontends.js.jsparser import ParseError, parse
+    try:
+        parse(src)
+    except (ParseError, RecursionError):
+        pass
+
+
+@settings(max_examples=40, deadline=5000)
+@given(st.text(alphabet="(){}<>=,;\"'`abc123 \n/*-+?:!&|", max_size=120))
+def test_build_terminates_on_garbage(src):
+    """The full build path is exception-safe per document (the scan UDF
+    catches; nothing may hang)."""
+    try:
+        build_cpg(src, "garbage.js")
+    except Exception:
+        pass
