@@ -120,3 +120,20 @@ def test_build_terminates_on_garbage(src):
         build_cpg(src, "garbage.js")
     except Exception:
         pass
+
+
+# the byte-identity contract (BASELINE.json input_hint): every extractor
+# is a SAME-LENGTH transform with newlines preserved, for ANY input
+@settings(max_examples=150, deadline=2000)
+@given(st.text(
+    alphabet="<>/scriptejnd %=-\"'{}()[]abc123\n\t&;!?*",
+    max_size=300))
+def test_extractors_preserve_length_on_garbage(src):
+    from joern_spark.cpg.astlower import vue_parse_source
+    from joern_spark.extract import extract_script_text, preprocess_ejs
+
+    for fn in (extract_script_text, preprocess_ejs, vue_parse_source):
+        out = fn(src)
+        assert len(out) == len(src), fn.__name__
+        assert [i for i, c in enumerate(src) if c == "\n"] == \
+            [i for i, c in enumerate(out) if c == "\n"], fn.__name__
