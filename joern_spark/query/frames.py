@@ -229,6 +229,46 @@ class Trav:
         return self._pair_closure("CDG", forward=False)
 
     # --- semi/anti (where / whereNot) -------------------------------------------
+    # --- structure/hierarchy steps (mirror the in-memory layer) -------------
+    def members(self) -> "Trav":
+        """TYPE_DECL → MEMBER AST children."""
+        t = self._hop("AST", forward=True)
+        return Trav(self.g, t._df.where(F.col("label") == "MEMBER"))
+
+    def has_modifier(self, modifier_type: str) -> "Trav":
+        """keep nodes with a MODIFIER AST child of that type (semi-join —
+        never materializes the modifier rows into the traversal)."""
+        mods = (self.g.edges.where(F.col("label") == "AST").alias("e")
+                .join(self.g.nodes.where(
+                    (F.col("label") == "MODIFIER")
+                    & (F.col("modifier_type") == modifier_type)).alias("m"),
+                    [F.col("e.url") == F.col("m.url"),
+                     F.col("e.dst") == F.col("m.node_id")])
+                .select(F.col("e.url").alias("url"),
+                        F.col("e.src").alias("node_id")))
+        return Trav(self.g, self._df.join(mods, ["url", "node_id"],
+                                          "left_semi"))
+
+    def base_type_decl(self) -> "Trav":
+        """TYPE_DECL → INHERITS_FROM → (TYPE_DECL | TYPE→REF→TYPE_DECL)."""
+        sup = self._hop("INHERITS_FROM", forward=True)
+        decls = sup._df.where(F.col("label") == "TYPE_DECL")
+        via_type = (Trav(self.g, sup._df.where(F.col("label") == "TYPE"))
+                    ._hop("REF", forward=True)
+                    ._df.where(F.col("label") == "TYPE_DECL"))
+        return Trav(self.g, decls.unionByName(via_type).dropDuplicates(
+            ["url", "node_id"]))
+
+    def derived_type_decl(self) -> "Trav":
+        """subtypes: TYPE_DECLs inheriting from this decl or its TYPE."""
+        direct = self._hop("INHERITS_FROM", forward=False)
+        my_types = Trav(self.g, self._df)._hop("REF", forward=False)
+        my_types = Trav(self.g, my_types._df.where(F.col("label") == "TYPE"))
+        via_type = my_types._hop("INHERITS_FROM", forward=False)
+        both = direct._df.unionByName(via_type._df)
+        return Trav(self.g, both.where(F.col("label") == "TYPE_DECL")
+                    .dropDuplicates(["url", "node_id"]))
+
     def where_exists(self, inner: "Trav") -> "Trav":
         return Trav(self.g, self._df.join(inner.cursors(), ["url", "node_id"], "left_semi"))
 

@@ -105,3 +105,37 @@ def test_ann_recall_vs_brute_force(spark):
     # recall@5 is 0.82 here (0.56 without multiprobe); clustered real
     # embeddings do far better.  Floor at 0.7 (VERDICT r1 item 3).
     assert recall >= 0.7, f"ANN recall@5 collapsed: {recall:.2f}"
+
+
+def test_frames_structure_steps(spark):
+    """Corpus-layer counterparts of the new structure steps: members,
+    hasModifier (semi-join), base/derived type-decl hierarchy hops."""
+    from joern_spark.cpg.spark_build import build_cpg_tables
+    from joern_spark.query.frames import CpgFrames
+    from joern_spark.sources.corpus import pages_from_documents
+    import pyspark.sql.functions as F
+
+    src = """
+class Base { constructor() { this.x = 1; } }
+class Derived extends Base { }
+"""
+    pages = spark.createDataFrame(
+        [("https://t.example/x", bytearray(
+            f"<html><script>{src}</script></html>".encode()))],
+        "url string, html binary",
+    ).withColumn("warc_ts", F.current_timestamp())
+    nodes, edges = build_cpg_tables(pages)
+    g = CpgFrames(nodes, edges)
+
+    tds = g._label("TYPE_DECL")
+    base = tds.name_exact("Base")
+    derived = tds.name_exact("Derived")
+    # hierarchy hops
+    assert [r.name for r in derived.base_type_decl().df()
+            .select("name").collect()] == ["Base"]
+    assert [r.name for r in base.derived_type_decl().df()
+            .select("name").collect()] == ["Derived"]
+    # members of Base (the recovered `x` member)
+    member_names = {r.name for r in base.members().df()
+                    .select("name").collect()}
+    assert "x" in member_names
