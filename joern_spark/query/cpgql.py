@@ -310,9 +310,12 @@ class Steps:
         return self.ast().filter(lambda n: n.id not in roots)
 
     def parent_block(self) -> "Steps":
+        """AstNodeTraversal.parentBlock: `repeat(_._astIn)(_.emit.until(
+        Block))` — the walk EMITS the starting node, so a block's parent
+        block is itself."""
         out = []
         for n in self.nodes:
-            cur = self.cpg.ast_parent(n)
+            cur = n
             while cur is not None and cur.label != "BLOCK":
                 cur = self.cpg.ast_parent(cur)
             if cur is not None:

@@ -536,3 +536,51 @@ def test_type_decl_content():
                            in_file="someFile", offset=3, offset_end=10)
            .cpg)
     assert Q(cpg).type_decl("foo").content() == ["CONTENT"]
+
+
+# ---------------------------------------------------------------------------
+# StepsTest.scala (the applicable generic steps: parentBlock, toJson, ids)
+# ---------------------------------------------------------------------------
+
+def _steps_cpg():
+    return (MockCpg()
+            .with_file("afile.c")
+            .with_namespace("anamespace")
+            .with_type_decl("AClass", in_namespace="anamespace",
+                            in_file="afile.c")
+            .with_method("foo", in_type_decl="AClass")
+            .with_method("woo", in_type_decl="AClass")
+            .with_call_in_method("foo", "acall")
+            .cpg)
+
+
+# StepsTest.scala:95-97 (allow retrieving ids)
+def test_steps_ids():
+    cpg = _steps_cpg()
+    assert [n.id for n in Q(cpg).method().l()]
+
+
+# StepsTest.scala:100-113 (parent block for a block's AST children)
+def test_steps_parent_block():
+    cpg = _steps_cpg()
+    (block,) = Q(cpg).method().name("foo").body().l()
+    # block.ast includes the block itself (the reference's direct child)
+    # and its leaf children — all resolve to the same parent block
+    foo_ast = Q(cpg).method().name("foo").body().ast().l()
+    first, last = foo_ast[0], foo_ast[-1]
+    for node in (first, last):
+        assert Q(cpg).all().filter(lambda n: n is node) \
+            .parent_block().l()[0] is block
+    # a method itself has no parent block
+    assert Q(cpg).method().name("woo").parent_block().size() == 0
+
+
+# StepsTest.scala:117-126 (toJson on stored nodes)
+def test_steps_to_json():
+    import json
+
+    cpg = _steps_cpg()
+    out = json.loads(Q(cpg).method().name_exact("foo").to_json())
+    (entry,) = [e for e in out if e["name"] == "foo"]
+    assert entry["label"] == "METHOD"
+    assert isinstance(entry["id"], int)
