@@ -16,6 +16,15 @@ Scale notes (100 TB):
 - skew: hot domains are fine here (unit of work = row, not domain); the
   groupBy-shaped variants downstream salt on url-hash.
 - parse errors degrade per-document into an error row (never kill a batch).
+
+Schema scope: NODES_SCHEMA is the QUERYABLE SUBSET of the per-document
+node model — the 16 properties the corpus queries (frames.py), the
+store, the exporters, and the driver oracles consume.  Rich per-document
+properties (type hints, alias/canonical names, FILE content, evaluation
+strategies) live only inside the build UDF where slicing/SARIF/dot use
+them; widening the parquet schema for columns no distributed query reads
+would cost scan width at 100 TB for nothing.  Add a column here only
+when a corpus-level consumer appears, together with its fixture refresh.
 """
 
 from __future__ import annotations
