@@ -350,13 +350,16 @@ def cpg_build_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cpg_scan_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sustained-throughput flagship: 4096 synthetic pages → extract → CPG →
     scan, sized to amortize worker startup (the north_star docs/sec metric;
-    bench.py divides 4096 by this query's wall time)."""
-    from joern_spark.query.scan import scan_findings
-    from joern_spark.sources.corpus import make_pages
+    bench.py divides 4096 by this query's wall time).  Generation is fused
+    into the scan stage (scan_generated_pages): one Python stage over the
+    source, the same plan shape a parquet/Iceberg pages table gives
+    scan_findings — the chained generator-UDF form pays an extra Arrow
+    round-trip that only exists in the synthetic harness."""
+    from joern_spark.query.scan import scan_generated_pages
 
-    pages = make_pages(spark, n_docs=4096, n_partitions=spark.sparkContext.defaultParallelism)
     return (
-        scan_findings(pages)
+        scan_generated_pages(spark, n_docs=4096,
+                             n_partitions=spark.sparkContext.defaultParallelism)
         .groupBy("query_name")
         .agg(F.count(F.lit(1)).alias("n_docs_flagged"),
              F.sum("n_matches").alias("n_matches"))

@@ -319,6 +319,10 @@ class Cpg:
         self._args: dict[int, list[Node]] = {}
         # sorted-AST-children cache (invalidated on AST edge insert)
         self._ast_kids: dict[int, list[Node]] = {}
+        # method_body_nodes memo, valid while no AST edge has been added
+        # since it was computed (passes call it repeatedly per method)
+        self._ast_version = 0
+        self._body_memo: dict[int, tuple[int, list[Node]]] = {}
         # closure capture records: (declaration Node, capturing method Node)
         self.captures: list[tuple[Node, Node]] = []
 
@@ -363,6 +367,7 @@ class Cpg:
             lst.append(e)
         if label == "AST":
             self._ast_kids.pop(src.id, None)
+            self._ast_version += 1
         elif label == "ARGUMENT":
             self._args.pop(src.id, None)
 
@@ -445,6 +450,9 @@ class Cpg:
         nested methods/type decls (the analysis-side body collection; the
         CONTAINS edge table follows the reference ContainsEdgePass
         destination set, which excludes params/returns/locals)."""
+        memo = self._body_memo.get(method.id)
+        if memo is not None and memo[0] == self._ast_version:
+            return memo[1]
         out = []
         stack = list(self.ast_children(method))
         while stack:
@@ -453,6 +461,7 @@ class Cpg:
                 continue
             out.append(n)
             stack.extend(self.ast_children(n))
+        self._body_memo[method.id] = (self._ast_version, out)
         return out
 
     def methods(self) -> list[Node]:

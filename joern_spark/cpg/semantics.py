@@ -168,17 +168,35 @@ class Semantics:
     def __init__(self, flows: list[FlowSemantic]):
         self.exact = {f.method_full_name: f for f in flows if not f.regex}
         self.regexes = [f for f in flows if f.regex]
+        # lookup memo incl. regex misses (None): the same full names recur
+        # across every document a worker processes
+        self._memo: dict[str, FlowSemantic | None] = {}
 
     def for_method_full_name(self, full_name: str):
         f = self.exact.get(full_name)
         if f is not None:
             return f
+        try:
+            return self._memo[full_name]
+        except KeyError:
+            pass
         import re
+        out = None
         for r in self.regexes:
             if re.fullmatch(r.method_full_name, full_name):
-                return r
-        return None
+                out = r
+                break
+        self._memo[full_name] = out
+        return out
+
+
+_DEFAULT: Semantics | None = None
 
 
 def default_semantics() -> Semantics:
-    return Semantics(operator_flows() + c_flows())
+    """Shared immutable instance — Engine/scan construct one per document;
+    rebuilding the ~150 FlowSemantic table each time was measurable."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = Semantics(operator_flows() + c_flows())
+    return _DEFAULT

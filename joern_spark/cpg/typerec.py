@@ -526,7 +526,7 @@ class JsTypeRecovery:
     """One iteration of RecoverForJavaScriptFile over a whole document."""
 
     def __init__(self, cpg: Cpg, iteration: int, iterations: int = 2,
-                 dummy_types: bool = True):
+                 dummy_types: bool = True, shared: dict | None = None):
         self.cpg = cpg
         self.iteration = iteration
         self.is_first = iteration == 0
@@ -535,17 +535,31 @@ class JsTypeRecovery:
         self.st = SymbolTable(cpg)
         self.new_member_types: dict[int, dict[str, None]] = {}
         self._is_field_cache: dict[int, bool] = {}
-        self._methods_by_full = _methods_by_full_name(cpg)
-        self._typedecls_by_full = _typedecls_by_full_name(cpg)
-        self._typedecls_by_name: dict[str, list[Node]] = {}
-        for t in cpg.nodes:
-            if t.label == "TYPE_DECL":
-                self._typedecls_by_name.setdefault(t.name, []).append(t)
-        self._members_by_name: dict[str, list[Node]] = {}
-        for t in cpg.nodes:
-            if t.label == "TYPE_DECL":
-                for mem in _members_of(cpg, t):
-                    self._members_by_name.setdefault(mem.name, []).append(mem)
+        if shared is None:
+            shared = self.build_shared_indexes(cpg)
+        self._methods_by_full = shared["methods_by_full"]
+        self._typedecls_by_full = shared["typedecls_by_full"]
+        self._typedecls_by_name = shared["typedecls_by_name"]
+        self._members_by_name = shared["members_by_name"]
+
+    @staticmethod
+    def build_shared_indexes(cpg: Cpg) -> dict:
+        """Node-index tables that are identical across fixpoint iterations
+        (the iteration passes write type FIELDS, never add/move the METHOD/
+        TYPE_DECL/MEMBER nodes these tables index) — built once per document
+        and shared by both JsTypeRecovery runs."""
+        typedecls_by_name: dict[str, list[Node]] = {}
+        members_by_name: dict[str, list[Node]] = {}
+        for t in cpg.nodes_by_label("TYPE_DECL"):
+            typedecls_by_name.setdefault(t.name, []).append(t)
+            for mem in _members_of(cpg, t):
+                members_by_name.setdefault(mem.name, []).append(mem)
+        return {
+            "methods_by_full": _methods_by_full_name(cpg),
+            "typedecls_by_full": _typedecls_by_full_name(cpg),
+            "typedecls_by_name": typedecls_by_name,
+            "members_by_name": members_by_name,
+        }
 
     # -- entry ---------------------------------------------------------------
     def run(self):
@@ -1308,8 +1322,9 @@ class JsTypeRecovery:
                 if args and self.st.contains(args[0]):
                     self._set_type_for_rec_call(x, x)
         for mem_id, ts in self.new_member_types.items():
-            mem = next((n for n in cpg.nodes if n.id == mem_id), None)
-            if mem is not None:
+            # node.id is its index in cpg.nodes (add_node invariant)
+            mem = cpg.nodes[mem_id] if 0 <= mem_id < len(cpg.nodes) else None
+            if mem is not None and mem.id == mem_id:
                 self.store_default_type_info(mem, list(ts))
 
     def _set_type_for_rec_call(self, x: Node, call: Optional[Node]):
@@ -1564,7 +1579,8 @@ def run_type_recovery(cpg: Cpg, iterations: int = 2, dummy_types: bool = True):
     inheritance_full_name_pass(cpg)
     const_closure_pass(cpg)
     resolve_imports_js(cpg)
+    shared = JsTypeRecovery.build_shared_indexes(cpg)
     for i in range(iterations):
-        JsTypeRecovery(cpg, i, iterations, dummy_types).run()
+        JsTypeRecovery(cpg, i, iterations, dummy_types, shared=shared).run()
     type_hint_call_linker(cpg)
     object_property_call_linker(cpg)

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 COMMENT_TAG = "<%#"
 TAG_GROUPS_RE = re.compile(r"(<%[=\-_#]?)([\s\S]*?)([-_#]?%>)")
+# blanks a non-script segment in one C-speed pass (spaces, newlines kept)
+_NON_NEWLINE_RE = re.compile(r"[^\n\r]")
 SCRIPT_GROUPS_RE = re.compile(r"(<script>)([\s\S]*?)(</script>)")
 OPENING_TAGS = ["<%#", "<%=", "<%-", "<%_"]
 CLOSING_TAGS = ["-%>", "_%>", "#%>", "%>"]
@@ -73,13 +75,17 @@ def preprocess_ejs(code: str) -> str:
             continue
         positions.append((ma.start() + len(ma.group(1)), ma.end() - len(ma.group(3))))
 
-    out = []
-    pos_idx = 0
-    for index, ch in enumerate(without_script):
-        while pos_idx < len(positions) and index >= positions[pos_idx][1]:
-            pos_idx += 1
-        inside = pos_idx < len(positions) and index >= positions[pos_idx][0]
-        out.append(ch if (ch in "\n\r" or inside) else " ")
+    # span-wise: keep tag bodies verbatim, blank everything else to spaces
+    # (newlines kept) — byte-identical to the per-character rule but runs
+    # at regex speed (the per-char loop dominated page generation)
+    parts = []
+    prev = 0
+    for s, e in positions:
+        parts.append(_NON_NEWLINE_RE.sub(" ", without_script[prev:s]))
+        parts.append(without_script[s:e])
+        prev = e
+    parts.append(_NON_NEWLINE_RE.sub(" ", without_script[prev:]))
+    out = list("".join(parts))
 
     for ma in matches:
         if ma.group(1) == COMMENT_TAG or ma.group(2).strip().startswith("include "):
@@ -107,14 +113,14 @@ def extract_script_text(html: str) -> str:
     keep-body/blank-rest rule with the same length-preservation contract).
     """
     bodies = [(m.start(2), m.end(2)) for m in SCRIPT_GROUPS_RE.finditer(html)]
-    out = []
-    pos_idx = 0
-    for index, ch in enumerate(html):
-        while pos_idx < len(bodies) and index >= bodies[pos_idx][1]:
-            pos_idx += 1
-        inside = pos_idx < len(bodies) and index >= bodies[pos_idx][0]
-        out.append(ch if (ch in "\n\r" or inside) else " ")
-    return "".join(out)
+    parts = []
+    prev = 0
+    for s, e in bodies:
+        parts.append(_NON_NEWLINE_RE.sub(" ", html[prev:s]))
+        parts.append(html[s:e])
+        prev = e
+    parts.append(_NON_NEWLINE_RE.sub(" ", html[prev:]))
+    return "".join(parts)
 
 
 # ---------------------------------------------------------------------------

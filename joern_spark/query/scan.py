@@ -141,6 +141,47 @@ def scan_findings(pages: DataFrame, bundle: list[Query] | None = None) -> DataFr
     return pages.select("url", "warc_ts", "html").mapInPandas(run, FINDINGS_SCHEMA)
 
 
+def scan_generated_pages(spark, n_docs: int, n_partitions: int | None = None,
+                         seed: int = 42, late_fraction: float = 0.1,
+                         bundle: list[Query] | None = None) -> DataFrame:
+    """Synthetic-corpus scan with generation FUSED into the scan UDF: one
+    spark.range → one mapInPandas.  Produces exactly the same findings rows
+    as ``scan_findings(make_pages(...))`` (same generator, same bundle), but
+    in the production plan shape — a single Python stage over the source —
+    instead of two chained Python stages (generator UDF → JVM → scan UDF),
+    which pays an extra Arrow round-trip a real parquet/Iceberg-backed pages
+    table would never have.  This is the north-star throughput path."""
+    import pandas as pd
+
+    from joern_spark.sources.corpus import page_for
+
+    queries = bundle if bundle is not None else default_bundle()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FINDINGS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                url, ts, html, _text = page_for(int(i), seed, late_fraction)
+                warc_ts = pd.Timestamp(ts, unit="s")
+                try:
+                    text = extract_script_text(
+                        html.decode("utf-8", "replace")
+                        if isinstance(html, (bytes, bytearray)) else str(html))
+                    cpg = build_cpg(text, url)
+                    q = Q(cpg)
+                    for query in queries:
+                        n = int(query.matcher(cpg, q))
+                        if n > 0:
+                            rows.append((url, warc_ts, query.name, n, query.score))
+                except Exception:
+                    rows.append((url, warc_ts, "<parse-error>", 1, 0.0))
+            yield pd.DataFrame(rows, columns=cols)
+
+    par = n_partitions or spark.sparkContext.defaultParallelism
+    return spark.range(n_docs, numPartitions=par).mapInPandas(run, FINDINGS_SCHEMA)
+
+
 def findings_report(findings: DataFrame) -> DataFrame:
     """joern-scan report shape (scan/package.scala:103-115): one line per
     finding, sorted by score descending."""

@@ -82,3 +82,19 @@ def test_combined_program_flags_exactly_the_positives():
     cpg = build_cpg(program)
     n = BUNDLE["eval-like-call"].matcher(cpg, Q(cpg))
     assert n == len(pos)
+
+
+def test_fused_generated_scan_matches_chained(spark):
+    """scan_generated_pages (generation fused into the scan UDF — the
+    north-star plan shape) must produce exactly the findings rows of the
+    chained scan_findings(make_pages(...)) form."""
+    from joern_spark.query.scan import scan_findings, scan_generated_pages
+    from joern_spark.sources.corpus import make_pages
+
+    n = 96
+    chained = scan_findings(make_pages(spark, n_docs=n, n_partitions=4))
+    fused = scan_generated_pages(spark, n_docs=n, n_partitions=4)
+    key = ["url", "query_name"]
+    a = sorted(map(tuple, chained.select(*key, "n_matches", "score").collect()))
+    b = sorted(map(tuple, fused.select(*key, "n_matches", "score").collect()))
+    assert a == b and len(a) > 0
