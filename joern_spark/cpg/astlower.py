@@ -356,8 +356,19 @@ class AstLowerer:
         self.filename = filename
         # Vue SFCs parse a same-length transformed source (script tags and
         # style/comment sections blanked, {{ }} → JSX containers) while all
-        # code fields still read from the ORIGINAL src via identical offsets
-        self._parse_src = vue_parse_source(src) if filename.endswith(".vue") else src
+        # code fields still read from the ORIGINAL src via identical offsets.
+        # EJS templates use the same dual-text trick: preprocess_ejs yields a
+        # same-length JS view (output tags → `ap(...)`), and because code
+        # fields read the ORIGINAL template, the fake `ap` callee surfaces as
+        # `<%` — which _ejs_output_call_name renames to escapeFn/__append
+        # (AstGenRunner.scala:225-246 route + AstCreatorHelper.ejsOutputCallName).
+        if filename.endswith(".vue"):
+            self._parse_src = vue_parse_source(src)
+        elif filename.endswith(".ejs"):
+            from joern_spark.extract import preprocess_ejs
+            self._parse_src = preprocess_ejs(src)
+        else:
+            self._parse_src = src
         # multi-file projects lower every file into ONE shared graph (the
         # reference CPG holds all compilation units of a project)
         self.cpg = cpg if cpg is not None else Cpg(filename)
@@ -1592,7 +1603,9 @@ class AstLowerer:
 
     # expressions -----------------------------------------------------------------
     def _ast_identifier(self, js) -> Ast:
-        name = js["name"]
+        # astForIdentifier (AstForPrimitivesCreator.scala:12): the EJS fake
+        # output callee identifier surfaces under its modeled name, never `ap`
+        name = self._ejs_output_call_name(js) or js["name"]
         node = self.identifier_node(js, name)
         self.scope.add_reference(name, node)
         return Ast(node)
@@ -1797,7 +1810,26 @@ class AstLowerer:
         receiver = self.ast_for_node_with_fref(callee)
         this_node = self.identifier_node(callee, "this")
         self.scope.add_reference("this", this_node)
-        return receiver, this_node, self.code_of_node(callee)
+        call_name = self._ejs_output_call_name(callee) or self.code_of_node(callee)
+        return receiver, this_node, call_name
+
+    def _ejs_output_call_name(self, js) -> str | None:
+        """AstCreatorHelper.ejsOutputCallName (jssrc2cpg, lines 293-304): a
+        callee whose ORIGINAL-source code is exactly `<%` is the EJS fake
+        output call `ap(...)`; the char after it picks the modeled name —
+        `=` → escapeFn (escaped output), `-` → __append (raw output)."""
+        if self.src is self._parse_src:
+            return None
+        if self.src[js["start"]:js["end"]] != "<%":
+            return None
+        end = js["end"]
+        if end < len(self.src):
+            ch = self.src[end]
+            if ch == "=":
+                return "escapeFn"
+            if ch == "-":
+                return "__append"
+        return None
 
     def _ast_new_expression(self, js) -> Ast:
         """astForNewExpression: block { _tmp = .alloc; new(...); _tmp }."""

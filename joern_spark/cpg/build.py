@@ -142,9 +142,16 @@ def build_project(input_path: str,
 
     good: list[tuple[str, str]] = []
     for rel, text in selected:
+        # probe-parse the same-length JS view; the ORIGINAL text goes into
+        # the lowerer, which re-derives the view (dual-text offsets keep
+        # code fields reading the original — that is how EJS output tags
+        # surface as escapeFn/__append, see AstLowerer._ejs_output_call_name)
         if rel.endswith(".ejs"):
-            text = preprocess_ejs(text)  # same-length transform
-        probe = vue_parse_source(text) if rel.endswith(".vue") else text
+            probe = preprocess_ejs(text)
+        elif rel.endswith(".vue"):
+            probe = vue_parse_source(text)
+        else:
+            probe = text
         try:
             parse(probe)
         except (ParseError, RecursionError):
