@@ -347,6 +347,26 @@ def cpg_build_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cpg_web_taint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-taint query bundle (querydb tainted-sink shapes: SQL/command
+    injection, DOM XSS, open redirect, regex injection, string-eval
+    timeouts, hardcoded/insecure credentials) over 1024 deterministic
+    pages that embed a positive/negative snippet mix; counts per query.
+    Oracle: fixture recomputed by the pure-Python engine
+    (tools/gen_cpg_fixtures.py)."""
+    from joern_spark.query.scan import scan_findings, web_taint_bundle
+    from joern_spark.sources.corpus import make_taint_pages
+
+    pages = make_taint_pages(spark, n_docs=1024,
+                             n_partitions=spark.sparkContext.defaultParallelism)
+    return (
+        scan_findings(pages, bundle=web_taint_bundle())
+        .groupBy("query_name")
+        .agg(F.count(F.lit(1)).alias("n_docs_flagged"),
+             F.sum("n_matches").alias("n_matches"))
+    )
+
+
 def cpg_scan_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sustained-throughput flagship: 4096 synthetic pages → extract → CPG →
     scan, sized to amortize worker startup (the north_star docs/sec metric;
@@ -417,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_node_stats": cpg_node_stats,
         "cpg_build_flows": cpg_build_flows,
         "cpg_scan_throughput": cpg_scan_throughput,
+        "cpg_web_taint": cpg_web_taint,
         "cpg_reachable_pairs": cpg_reachable_pairs,
     }
 
@@ -737,6 +758,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_name, CAST(n_docs_flagged AS BIGINT) AS n_docs_flagged,
                    CAST(n_matches AS BIGINT) AS n_matches
             FROM read_csv_auto('/root/repo/fixtures/cpg_scan_throughput.csv', header=true)
+        """,
+        "cpg_web_taint": """
+            SELECT query_name, CAST(n_docs_flagged AS BIGINT) AS n_docs_flagged,
+                   CAST(n_matches AS BIGINT) AS n_matches
+            FROM read_csv_auto('/root/repo/fixtures/cpg_web_taint.csv', header=true)
         """,
         "cpg_reachable_pairs": """
             SELECT url, CAST(n_pairs AS BIGINT) AS n_pairs

@@ -50,6 +50,7 @@ DEFAULT_BENCH = [
     "cpg_node_stats",       # exercises the single-pass nodes+edges build
     "cpg_reachable_pairs",  # iterative-join reachability over REACHING_DEF
     "cpg_scan_throughput",  # flagship: sustained docs/sec over 4096 pages
+    "cpg_web_taint",        # querydb-shape taint bundle over 1024 pages
 ]
 
 

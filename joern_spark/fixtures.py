@@ -276,3 +276,28 @@ export const createUser = (user) => {
 };
 """,
 }
+
+
+# Web-taint corpus snippets: deterministic positives AND negatives for the
+# web_taint_bundle queries (query/scan.py) — the cpg_web_taint driver query
+# scans pages embedding these (snippet = i mod len), and its fixture oracle
+# (tools/gen_cpg_fixtures.py) recomputes the same counts with the
+# pure-Python engine.
+WEB_TAINT_SNIPPETS: dict[str, str] = {
+    "sqli_pos": "var q = location.search; db.query(q);",
+    "sqli_neg": "db.query('SELECT 1');",
+    "cmdi_pos": "var cmd = location.hash; exec(cmd);",
+    "cmdi_neg": "var cmd = 'ls -la'; execSync(cmd);",
+    "xss_pos": "var v = document.cookie; el.innerHTML = v;",
+    "xss_write_pos": "document.write(location.search);",
+    "xss_neg": "el.innerHTML = '<b>hi</b>';",
+    "redirect_pos": "var t = document.cookie; location.href = t;",
+    "redirect_neg": "location.replace('/login');",
+    "regexi_pos": "var p = location.hash; var r = new RegExp(p);",
+    "timeout_pos": "setTimeout(\"doEvil()\", 100);",
+    "timeout_neg": "setTimeout(function() { ok(); }, 100);",
+    "cred_pos": "var password = 'hunter2'; config.apiKey = \"abc123\";",
+    "cred_neg": "var password = readInput();",
+    "randtok_pos": "var token = Math.random();",
+    "randtok_neg": "var x = Math.random();",
+}

@@ -10,6 +10,7 @@ suite's counts on the same corpus slice (BASELINE.json north_star).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -104,6 +105,166 @@ def default_bundle() -> list[Query]:
               lambda cpg, q: q.call().assignment().code(".*innerHTML.*").size(),
               evidence=_node_evidence(
                   lambda q: q.call().assignment().code(".*innerHTML.*").l())),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Web-taint bundle: the portable querydb scanner *shapes* (tainted-sink
+# patterns per SqlInjection.scala / CommandInjection.scala style from
+# querydb/src/main/scala/io/joern/scanners/, re-targeted at browser JS —
+# the reference ships no JS scanners, so these are net-new coverage with
+# the same positive/negative embedded-example test methodology
+# (CQueryTestSuite.scala:12-43)).
+# ---------------------------------------------------------------------------
+
+_CRED_RE = re.compile(r"(?i)(password|passwd|secret|api_?key|token|credential)")
+_QUOTES = ('"', "'", "`")
+
+
+def _web_sources(q: Q):
+    """Browser user-input roots: field READS off the location/document/
+    window globals (location.search, document.cookie, window.name) — the
+    fieldAccess CALL nodes, per Joern web-taint practice.  Bare global
+    identifiers are deliberately not used: an undeclared single-use base
+    is a reaching-def lone identifier (ReachingDefProblem.scala:297-342)
+    and carries no def-use edges by design."""
+    return q.call().name_exact("<operator>.fieldAccess") \
+        .code(r"(location|document|window)\..*").l()
+
+
+def _real_args(nodes):
+    # argumentIndex 0 is the receiver base — a `document`/`location` base
+    # would otherwise be source AND sink and self-flag every call on it
+    return [a for a in nodes if a.argument_index >= 1]
+
+
+def _rhs_args(nodes):
+    # assignment sinks: only the RHS (index 2) — the LHS fieldAccess
+    # (index 1) is tainted by its own base (location.href = ... would
+    # self-flag through the `location` base identifier)
+    return [a for a in nodes if a.argument_index >= 2]
+
+
+def _cmd_sinks(q: Q):
+    return _real_args(
+        q.call().name("(exec|execSync|execFile|spawn|system|popen)")
+        .argument().l())
+
+
+def _sql_sinks(q: Q):
+    return _real_args(q.call().name("(query|execute)").argument().l())
+
+
+_HTML_LHS_RE = re.compile(r".*\.(inner|outer)HTML$")
+
+
+def _dom_xss_sinks(q: Q):
+    # markup WRITES: LHS-anchored like _redirect_sinks (an innerHTML READ
+    # on the RHS is not a sink)
+    out = []
+    for a in q.assignment().l():
+        args = sorted((x for x in q.cpg.arguments(a)
+                       if x.argument_index >= 1),
+                      key=lambda x: x.argument_index)
+        if len(args) >= 2 and _HTML_LHS_RE.match(args[0].code):
+            out.extend(args[1:])
+    out += _real_args(q.call().code(r"document\.write\(.*").argument().l())
+    return out
+
+
+_REDIRECT_LHS_RE = re.compile(r"(.*\.)?location\.(href|hash|search)$")
+
+
+def _redirect_sinks(q: Q):
+    # navigation-target WRITES: the LHS (argument 1) must be the location
+    # field — matching the whole assignment code would also flag reads
+    # like `var q = location.search`
+    out = []
+    for a in q.assignment().l():
+        args = sorted((x for x in q.cpg.arguments(a)
+                       if x.argument_index >= 1),
+                      key=lambda x: x.argument_index)
+        if len(args) >= 2 and _REDIRECT_LHS_RE.match(args[0].code):
+            out.extend(args[1:])
+    out += _real_args(q.call().name("(assign|replace)")
+                      .code(r".*location\..*").argument().l())
+    return out
+
+
+def _regex_sinks(q: Q):
+    return _real_args(
+        q.call().name_exact("<operator>.new").code("new RegExp.*")
+        .argument().l())
+
+
+def _timeout_string_matches(cpg: Cpg, q: Q) -> list:
+    """setTimeout/setInterval with a string first argument — the implicit
+    eval form."""
+    out = []
+    for c in q.call().name("(setTimeout|setInterval)").l():
+        first = [a for a in cpg.arguments(c) if a.argument_index == 1]
+        if first and first[0].label == "LITERAL" \
+                and first[0].code[:1] in _QUOTES:
+            out.append(c)
+    return out
+
+
+def _hardcoded_cred_matches(cpg: Cpg, q: Q) -> list:
+    """Credential-named assignment target with a non-empty string-literal
+    source (the classic hardcoded-secret pattern; complements the
+    ConfigPass private-key redaction)."""
+    out = []
+    for a in q.assignment().l():
+        args = cpg.arguments(a)
+        if len(args) >= 2 and _CRED_RE.search(args[0].code) \
+                and args[1].label == "LITERAL" \
+                and args[1].code[:1] in _QUOTES and len(args[1].code) > 2:
+            out.append(a)
+    return out
+
+
+def _random_token_matches(cpg: Cpg, q: Q) -> list:
+    """Math.random() reaching a credential-named assignment target —
+    insecure randomness used for a secret."""
+    sources = q.call().code(r"Math\.random\(.*").l()
+    sinks = []
+    for a in q.assignment().l():
+        args = cpg.arguments(a)
+        if len(args) >= 2 and _CRED_RE.search(args[0].code):
+            sinks.extend(args[1:])
+    if not sources or not sinks:
+        return []
+    return reachable_by_flows(cpg, sinks, sources)
+
+
+def web_taint_bundle() -> list[Query]:
+    return [
+        Query("sql-injection", 9.0,
+              _taint(_web_sources, _sql_sinks),
+              evidence=_taint_evidence(_web_sources, _sql_sinks)),
+        Query("command-injection", 9.0,
+              _taint(_web_sources, _cmd_sinks),
+              evidence=_taint_evidence(_web_sources, _cmd_sinks)),
+        Query("dom-xss", 8.0,
+              _taint(_web_sources, _dom_xss_sinks),
+              evidence=_taint_evidence(_web_sources, _dom_xss_sinks)),
+        Query("open-redirect", 6.0,
+              _taint(_web_sources, _redirect_sinks),
+              evidence=_taint_evidence(_web_sources, _redirect_sinks)),
+        Query("regex-injection", 5.0,
+              _taint(_web_sources, _regex_sinks),
+              evidence=_taint_evidence(_web_sources, _regex_sinks)),
+        Query("timeout-string-eval", 6.0,
+              lambda cpg, q: len(_timeout_string_matches(cpg, q)),
+              evidence=lambda cpg, q: [[n] for n in
+                                       _timeout_string_matches(cpg, q)]),
+        Query("hardcoded-credential", 5.0,
+              lambda cpg, q: len(_hardcoded_cred_matches(cpg, q)),
+              evidence=lambda cpg, q: [[n] for n in
+                                       _hardcoded_cred_matches(cpg, q)]),
+        Query("insecure-random-token", 4.0,
+              lambda cpg, q: len(_random_token_matches(cpg, q)),
+              evidence=lambda cpg, q: _random_token_matches(cpg, q)),
     ]
 
 

@@ -104,3 +104,56 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
         F.concat(snippet, F.lit("\n")).alias("text"),
         F.col("lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Web-taint corpus: pages embedding the WEB_TAINT_SNIPPETS mix (positives
+# and negatives for the web_taint_bundle), same deterministic pure-function
+# construction as page_for.
+# ---------------------------------------------------------------------------
+
+WEB_TAINT_IDS = None  # populated lazily from fixtures (sorted keys)
+
+
+def _web_taint_ids():
+    global WEB_TAINT_IDS
+    if WEB_TAINT_IDS is None:
+        from joern_spark.fixtures import WEB_TAINT_SNIPPETS
+        WEB_TAINT_IDS = sorted(WEB_TAINT_SNIPPETS)
+    return WEB_TAINT_IDS
+
+
+def taint_page_for(i: int, seed: int = 42):
+    """Deterministic web-taint page row for index i (pure function)."""
+    from joern_spark.extract import extract_script_text
+    from joern_spark.fixtures import WEB_TAINT_SNIPPETS
+
+    ids = _web_taint_ids()
+    h = int.from_bytes(hashlib.md5(f"taint:{seed}:{i}".encode()).digest()[:8], "big")
+    domain = DOMAINS[h % len(DOMAINS)]
+    url = f"https://{domain}/taint-{i}"
+    snippet = WEB_TAINT_SNIPPETS[ids[i % len(ids)]]
+    html = (f"<html><head><title>t{i}</title></head><body><script>{snippet}"
+            f"\n</script></body></html>")
+    ts = BASE_EPOCH + i * 7 + (h % 5)
+    return url, ts, html.encode("utf-8"), extract_script_text(html)
+
+
+def make_taint_pages(spark: SparkSession, n_docs: int = 256, seed: int = 42,
+                     n_partitions: int | None = None) -> DataFrame:
+    """Distributed generation of the web-taint scan corpus."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                url, ts, html, text = taint_page_for(int(i), seed)
+                rows.append((int(i), url, pd.Timestamp(ts, unit="s"), html,
+                             text, "en"))
+            yield pd.DataFrame(
+                rows, columns=["doc_seq", "url", "warc_ts", "html", "text",
+                               "lang"])
+
+    rng = spark.range(n_docs, numPartitions=n_partitions
+                      or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, PAGE_SCHEMA)

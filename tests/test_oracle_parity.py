@@ -18,7 +18,9 @@ import pytest
 import __spark_entry__ as entrymod
 
 SF = os.environ.get("SPARK_GRAFT_PARITY_SF", "0.001")
-SF_DIR = f"/root/testdata/sf{SF}"
+# SPARK_GRAFT_PARITY_DIR overrides the testdata layout entirely — used for
+# the scaled-up tables tools/gen_scale.py writes (e.g. /tmp/sf1)
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_DIR", f"/root/testdata/sf{SF}")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

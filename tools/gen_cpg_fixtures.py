@@ -160,6 +160,38 @@ def main():
               ["query_name", "n_docs_flagged", "n_matches"],
               sorted((qn, flagged[qn], matches[qn]) for qn in flagged))
 
+    # cpg_web_taint: make_taint_pages(1024) — snippet = i mod len(ids),
+    # scanned with the web_taint_bundle
+    from joern_spark.fixtures import WEB_TAINT_SNIPPETS
+    from joern_spark.query.scan import web_taint_bundle
+    from joern_spark.sources.corpus import taint_page_for
+
+    ids = sorted(WEB_TAINT_SNIPPETS)
+    taint_bundle = web_taint_bundle()
+
+    def taint_scan_counts(residue: int) -> dict[str, int]:
+        html = ("<html><head><title>t</title></head><body><script>"
+                + WEB_TAINT_SNIPPETS[ids[residue]]
+                + "\n</script></body></html>")
+        cpg = build_cpg(extract_script_text(html))
+        q = Q(cpg)
+        return {query.name: n for query in taint_bundle
+                if (n := int(query.matcher(cpg, q))) > 0}
+
+    residue_taint = {r: taint_scan_counts(r) for r in range(len(ids))}
+    flagged = Counter()
+    matches = Counter()
+    for i in range(1024):
+        for qn, n in residue_taint[i % len(ids)].items():
+            flagged[qn] += 1
+            matches[qn] += n
+    # sanity: taint_page_for must embed exactly ids[i % len]'s snippet
+    _, _, html7, _ = taint_page_for(7)
+    assert WEB_TAINT_SNIPPETS[ids[7 % len(ids)]] in html7.decode()
+    write_csv("cpg_web_taint.csv",
+              ["query_name", "n_docs_flagged", "n_matches"],
+              sorted((qn, flagged[qn], matches[qn]) for qn in flagged))
+
 
 if __name__ == "__main__":
     main()
