@@ -287,7 +287,8 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthetic_media(spark, 64)
     feats = multimodal.extract_media_features(media)
     return feats.select("media_id", "media_type", "n_bytes",
-                        "width", "height", "n_channels", "sample_rate")
+                        "width", "height", "n_channels", "sample_rate",
+                        "mean_r", "mean_g", "mean_b", "pixel_entropy")
 
 
 # ---------------------------------------------------------------------------
@@ -822,26 +823,70 @@ def oracle_sql() -> dict[str, str]:
         # headers whose fields are pure arithmetic on media_id
         # (multimodal._png_blob/_wav_blob/_mp4_blob); the Spark side must
         # PARSE them back from the bytes.  n_bytes = header + 16·(1+id%7)
-        # payload (PNG hdr 33, WAV hdr 44, MP4 boxes 132).
+        # payload (WAV hdr 44, MP4 boxes 132; PNG is now a FULL valid image:
+        # 8 sig + 25 IHDR + 12+idat + 12 IEND with idat = 11 + h*(1+3w)
+        # zlib stored bytes → n_bytes = 68 + h*(1+3w)).  The pixel stats
+        # are recomputed from the generator's closed-form gradient
+        # (multimodal.png_pixel_value: (x*3 + y*7 + c*11 + id) % 256) —
+        # fully independent of the Spark side's inflate+unfilter decode.
         "media_features": """
-            SELECT media_id,
-                   CASE media_id % 3 WHEN 0 THEN 'image/png'
-                                     WHEN 1 THEN 'audio/wav'
-                                     ELSE 'video/mp4' END AS media_type,
-                   CAST(CASE media_id % 3
-                          WHEN 0 THEN 33 + 16*(1 + media_id % 7)
-                          WHEN 1 THEN 44 + 16*(1 + media_id % 7)
-                          ELSE 132 + 16*(1 + media_id % 7) END AS BIGINT) AS n_bytes,
-                   CAST(CASE media_id % 3
-                          WHEN 0 THEN 16 + (media_id % 32) * 4
-                          WHEN 2 THEN 320 + (media_id % 8) * 16 END AS INT) AS width,
-                   CAST(CASE media_id % 3
-                          WHEN 0 THEN 16 + ((media_id * 7) % 32) * 4
-                          WHEN 2 THEN 240 + ((media_id * 3) % 8) * 16 END AS INT) AS height,
-                   CAST(CASE media_id % 3
-                          WHEN 1 THEN 1 + media_id % 2 END AS INT) AS n_channels,
-                   CAST(CASE media_id % 3
-                          WHEN 1 THEN 8000 * (1 + media_id % 5) END AS INT) AS sample_rate
-            FROM (SELECT range AS media_id FROM range(64))
+            WITH m AS (SELECT range AS media_id FROM range(64)),
+            png AS (
+              SELECT media_id,
+                     16 + (media_id % 32) * 4 AS w,
+                     16 + ((media_id * 7) % 32) * 4 AS h
+              FROM m WHERE media_id % 3 = 0
+            ),
+            pix AS (
+              -- range() cannot lateral-reference w/h in DuckDB: generate
+              -- the max extent (140) and filter per-image
+              SELECT png.media_id, c.c AS chan,
+                     (x.x * 3 + y.y * 7 + c.c * 11 + png.media_id) % 256 AS v
+              FROM png, range(0, 3) c(c), range(0, 140) x(x), range(0, 140) y(y)
+              WHERE x.x < png.w AND y.y < png.h
+            ),
+            chan_mean AS (
+              SELECT media_id, chan,
+                     CAST(sum(v) AS DOUBLE) / count(*) AS mv
+              FROM pix GROUP BY media_id, chan
+            ),
+            vcount AS (
+              SELECT media_id, v, count(*) AS cnt
+              FROM pix GROUP BY media_id, v
+            ),
+            ent AS (
+              SELECT vc.media_id,
+                     round(-sum((CAST(cnt AS DOUBLE) / (3.0 * w * h))
+                                * log2(CAST(cnt AS DOUBLE) / (3.0 * w * h))),
+                           6) AS e
+              FROM vcount vc JOIN png ON vc.media_id = png.media_id
+              GROUP BY vc.media_id, w, h
+            )
+            SELECT m.media_id,
+                   CASE m.media_id % 3 WHEN 0 THEN 'image/png'
+                                       WHEN 1 THEN 'audio/wav'
+                                       ELSE 'video/mp4' END AS media_type,
+                   CAST(CASE m.media_id % 3
+                          WHEN 0 THEN 68 + png.h * (1 + 3 * png.w)
+                          WHEN 1 THEN 44 + 16*(1 + m.media_id % 7)
+                          ELSE 132 + 16*(1 + m.media_id % 7) END AS BIGINT) AS n_bytes,
+                   CAST(CASE m.media_id % 3
+                          WHEN 0 THEN png.w
+                          WHEN 2 THEN 320 + (m.media_id % 8) * 16 END AS INT) AS width,
+                   CAST(CASE m.media_id % 3
+                          WHEN 0 THEN png.h
+                          WHEN 2 THEN 240 + ((m.media_id * 3) % 8) * 16 END AS INT) AS height,
+                   CAST(CASE m.media_id % 3
+                          WHEN 1 THEN 1 + m.media_id % 2 END AS INT) AS n_channels,
+                   CAST(CASE m.media_id % 3
+                          WHEN 1 THEN 8000 * (1 + m.media_id % 5) END AS INT) AS sample_rate,
+                   r.mv AS mean_r, g.mv AS mean_g, b.mv AS mean_b,
+                   ent.e AS pixel_entropy
+            FROM m
+            LEFT JOIN png ON m.media_id = png.media_id
+            LEFT JOIN chan_mean r ON m.media_id = r.media_id AND r.chan = 0
+            LEFT JOIN chan_mean g ON m.media_id = g.media_id AND g.chan = 1
+            LEFT JOIN chan_mean b ON m.media_id = b.media_id AND b.chan = 2
+            LEFT JOIN ent ON m.media_id = ent.media_id
         """,
     }

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -45,6 +47,13 @@ MEDIA_FEATURE_SCHEMA = StructType(
         StructField("n_channels", IntegerType()),
         StructField("sample_rate", IntegerType()),
         StructField("feature", ArrayType(FloatType())),
+        # pixel-level features (PNG only; None for header-only formats):
+        # per-channel means + byte entropy over the DECODED image — real
+        # zlib inflate + scanline unfilter, stdlib-only
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("pixel_entropy", DoubleType()),
     ]
 )
 
@@ -111,6 +120,92 @@ def decode_media_header(payload: bytes) -> dict:
     return out
 
 
+def png_pixel_stats(payload: bytes) -> "dict | None":
+    """REAL pixel decode for 8-bit RGB PNGs, stdlib-only: walk the chunk
+    table, concatenate IDAT, zlib-inflate, undo the per-scanline filters
+    (all five types — None/Sub/Up/Average/Paeth, PNG spec §9), and return
+    {mean_r, mean_g, mean_b, pixel_entropy} over the decoded pixels
+    (entropy in bits over the byte-value distribution, rounded to 6dp;
+    means are exact sum/count doubles).  Returns None for non-PNG input,
+    non-RGB8 color modes, or corrupt streams."""
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR" and length >= 13:
+            width, height = struct.unpack(">II", data[:8])
+            bit_depth, color_type = data[8], data[9]
+            if bit_depth != 8 or color_type != 2:  # only 8-bit truecolor RGB
+                return None
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if not width or not height or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * 3
+    if len(raw) != height * (1 + stride):
+        return None
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = 3
+    for y in range(height):
+        off = y * (1 + stride)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=off + 1).astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y > 0 else np.zeros(stride, np.int64)
+        if ftype == 0:        # None
+            rec = line
+        elif ftype == 2:      # Up
+            rec = (line + prev) & 0xFF
+        else:                 # Sub/Average/Paeth need the in-row left pixel
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                if ftype == 1:      # Sub
+                    pred = left
+                elif ftype == 3:    # Average
+                    pred = (left + up) >> 1
+                elif ftype == 4:    # Paeth
+                    ul = int(prev[i - bpp]) if i >= bpp else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                else:
+                    return None
+                rec[i] = (line[i] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+    pix = out.reshape(height, width, 3)
+    n = height * width
+    means = pix.reshape(-1, 3).sum(axis=0, dtype=np.int64) / float(n)
+    counts = np.bincount(pix.reshape(-1), minlength=256).astype(np.float64)
+    probs = counts[counts > 0] / float(n * 3)
+    entropy = float(-(probs * np.log2(probs)).sum())
+    # means stay UNROUNDED: exact int64 sum / count division produces the
+    # identical IEEE double in any engine (a 6dp round would instead expose
+    # Python banker's-rounding vs SQL half-away ties); entropy is a
+    # float-summation result, so 6dp absorbs order-of-summation noise
+    return {
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+        "pixel_entropy": round(entropy, 6),
+    }
+
+
 def _payload_feature(payload: bytes, n_buckets: int = 8) -> list[float]:
     """8-bucket byte histogram over the payload, normalized — a real
     (if simple) content feature computed from the actual bytes."""
@@ -137,6 +232,7 @@ def extract_media_features(df: DataFrame, id_col: str = "media_id", blob_col: st
             for mid, mtype, blob in zip(pdf[id_col], pdf["media_type"], pdf[blob_col]):
                 payload = bytes(blob) if blob is not None else b""
                 hdr = decode_media_header(payload)
+                pix = png_pixel_stats(payload) or {}
                 rows.append(
                     (
                         int(mid),
@@ -148,6 +244,10 @@ def extract_media_features(df: DataFrame, id_col: str = "media_id", blob_col: st
                         hdr["n_channels"],
                         hdr["sample_rate"],
                         _payload_feature(payload),
+                        pix.get("mean_r"),
+                        pix.get("mean_g"),
+                        pix.get("mean_b"),
+                        pix.get("pixel_entropy"),
                     )
                 )
             out = pd.DataFrame(
@@ -170,12 +270,47 @@ extract_image_features = extract_media_features
 # fields derived from media_id so a SQL oracle can recompute them.
 # ---------------------------------------------------------------------------
 
-def _png_blob(media_id: int, payload: bytes) -> bytes:
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def png_pixel_value(x: int, y: int, c: int, media_id: int) -> int:
+    """The generator's closed-form gradient — pure arithmetic on
+    (x, y, channel, media_id) so a SQL oracle can recompute the decoded
+    pixel statistics independently of any byte-level parsing."""
+    return (x * 3 + y * 7 + c * 11 + media_id) % 256
+
+
+def _png_blob(media_id: int, payload: bytes = b"") -> bytes:
+    """A fully VALID 8-bit RGB PNG (IHDR + filtered scanlines + zlib IDAT
+    + IEND, real CRCs): pixels follow png_pixel_value, and rows cycle
+    through filter types None/Sub/Up (y % 3) so the decoder's unfilter
+    path is genuinely exercised.  zlib level 0 (stored blocks) keeps the
+    raw scanlines byte-transparent inside the stream.  `payload` is
+    ignored (a valid PNG has no trailing garbage)."""
     width = 16 + (media_id % 32) * 4
     height = 16 + ((media_id * 7) % 32) * 4
     ihdr = struct.pack(">II", width, height) + bytes([8, 2, 0, 0, 0])
-    chunk = struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
-    return _PNG_SIG + chunk + payload  # 33 + len(payload) bytes
+    stride = width * 3
+    raw = bytearray()
+    prev = [0] * stride
+    for y in range(height):
+        row = [png_pixel_value(x, y, c, media_id)
+               for x in range(width) for c in range(3)]
+        ftype = y % 3
+        raw.append(ftype)
+        if ftype == 0:      # None
+            raw += bytes(row)
+        elif ftype == 1:    # Sub
+            raw += bytes((row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                         for i in range(stride))
+        else:               # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        prev = row
+    idat = zlib.compress(bytes(raw), 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b""))
 
 
 def _wav_blob(media_id: int, payload: bytes) -> bytes:

@@ -75,9 +75,12 @@ def test_spark_pipeline_roundtrip(spark):
         plen = 16 * (1 + mid % 7)
         if mid % 3 == 0:
             assert r.media_type == "image/png"
-            assert r.n_bytes == 33 + plen
-            assert r.width == 16 + (mid % 32) * 4
+            w = 16 + (mid % 32) * 4
+            h = 16 + ((mid * 7) % 32) * 4
+            assert r.n_bytes == 68 + h * (1 + 3 * w)
+            assert r.width == w
             assert r.n_channels is None
+            assert r.mean_r is not None and r.pixel_entropy is not None
         elif mid % 3 == 1:
             assert r.sample_rate == 8000 * (1 + mid % 5)
             assert r.width is None
@@ -86,3 +89,97 @@ def test_spark_pipeline_roundtrip(spark):
             assert r.height == 240 + ((mid * 3) % 8) * 16
         assert len(r.feature) == 8
         assert abs(sum(r.feature) - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Pixel-level PNG decode (round-4): real inflate + scanline unfilter
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+import numpy as np
+
+from joern_spark.pipeline.multimodal import (
+    _png_blob, _png_chunk, _PNG_SIG, png_pixel_stats, png_pixel_value,
+)
+
+
+def _expected_stats(mid):
+    w = 16 + (mid % 32) * 4
+    h = 16 + ((mid * 7) % 32) * 4
+    xs, ys, cs = np.arange(w), np.arange(h), np.arange(3)
+    grid = (xs[None, :, None] * 3 + ys[:, None, None] * 7
+            + cs[None, None, :] * 11 + mid) % 256
+    means = grid.reshape(-1, 3).mean(axis=0)
+    counts = np.bincount(grid.reshape(-1), minlength=256).astype(float)
+    p = counts[counts > 0] / (w * h * 3)
+    return means, round(float(-(p * np.log2(p)).sum()), 6)
+
+
+def test_png_pixel_stats_matches_closed_form():
+    for mid in (0, 3, 9, 30, 63):
+        st = png_pixel_stats(_png_blob(mid))
+        means, ent = _expected_stats(mid)
+        assert st["mean_r"] == float(means[0])
+        assert st["mean_g"] == float(means[1])
+        assert st["mean_b"] == float(means[2])
+        assert st["pixel_entropy"] == ent
+
+
+def _png_with_filters(pixels, filters):
+    """Hand-encode an RGB8 PNG applying the given per-row filter types
+    (exercises Average/Paeth, which the synthetic generator never emits)."""
+    h, w, _ = pixels.shape
+    bpp = 3
+    raw = bytearray()
+    flat = pixels.reshape(h, w * 3).astype(int)
+    for y in range(h):
+        ftype = filters[y]
+        raw.append(ftype)
+        prev = flat[y - 1] if y > 0 else np.zeros(w * 3, int)
+        for i in range(w * 3):
+            x = int(flat[y][i])
+            left = int(flat[y][i - bpp]) if i >= bpp else 0
+            up = int(prev[i])
+            ul = int(prev[i - bpp]) if i >= bpp else 0
+            if ftype == 0:
+                enc = x
+            elif ftype == 1:
+                enc = x - left
+            elif ftype == 2:
+                enc = x - up
+            elif ftype == 3:
+                enc = x - ((left + up) >> 1)
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                enc = x - pred
+            raw.append(enc & 0xFF)
+    ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_unfilter_average_and_paeth():
+    rng = np.random.RandomState(7)
+    pixels = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    blob = _png_with_filters(pixels, [0, 1, 2, 3, 4, 3])
+    st = png_pixel_stats(blob)
+    flat = pixels.reshape(-1, 3)
+    assert st["mean_r"] == float(flat[:, 0].mean())
+    assert st["mean_g"] == float(flat[:, 1].mean())
+    assert st["mean_b"] == float(flat[:, 2].mean())
+
+
+def test_png_pixel_stats_rejects_non_rgb8_and_garbage():
+    assert png_pixel_stats(b"not a png") is None
+    # grayscale color type → None (decoder only models RGB8)
+    ihdr = struct.pack(">II", 4, 4) + bytes([8, 0, 0, 0, 0])
+    blob = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    assert png_pixel_stats(blob) is None
+    # truncated IDAT → None, not an exception
+    good = _png_blob(3)
+    assert png_pixel_stats(good[:60]) is None
