@@ -368,6 +368,22 @@ def cpg_web_taint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cpg_cross_page_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-DOCUMENT taint flows over the site corpus (512 pages): a
+    library page's function returns user input, an app page of the SAME
+    domain feeds that function's result into eval — the flow exists only
+    across the page boundary.  Summarize-then-join: per-page reachableBy
+    summaries in one narrow Arrow pass, then a (domain, func_name) join
+    of the two small summary frames (query/crosspage.py).  Oracle:
+    fixture recomputed by the pure-Python engine."""
+    from joern_spark.query.crosspage import cross_page_flows
+    from joern_spark.sources.corpus import make_site_pages
+
+    pages = make_site_pages(spark, n_docs=512,
+                            n_partitions=spark.sparkContext.defaultParallelism)
+    return cross_page_flows(pages)
+
+
 def cpg_scan_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sustained-throughput flagship: 4096 synthetic pages → extract → CPG →
     scan, sized to amortize worker startup (the north_star docs/sec metric;
@@ -439,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_build_flows": cpg_build_flows,
         "cpg_scan_throughput": cpg_scan_throughput,
         "cpg_web_taint": cpg_web_taint,
+        "cpg_cross_page_flows": cpg_cross_page_flows,
         "cpg_reachable_pairs": cpg_reachable_pairs,
     }
 
@@ -764,6 +781,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_name, CAST(n_docs_flagged AS BIGINT) AS n_docs_flagged,
                    CAST(n_matches AS BIGINT) AS n_matches
             FROM read_csv_auto('/root/repo/fixtures/cpg_web_taint.csv', header=true)
+        """,
+        "cpg_cross_page_flows": """
+            SELECT domain, func_name,
+                   CAST(n_source_pages AS BIGINT) AS n_source_pages,
+                   CAST(n_sink_pages AS BIGINT) AS n_sink_pages,
+                   CAST(n_cross_flows AS BIGINT) AS n_cross_flows
+            FROM read_csv_auto('/root/repo/fixtures/cpg_cross_page_flows.csv', header=true)
         """,
         "cpg_reachable_pairs": """
             SELECT url, CAST(n_pairs AS BIGINT) AS n_pairs

@@ -157,3 +157,62 @@ def make_taint_pages(spark: SparkSession, n_docs: int = 256, seed: int = 42,
     rng = spark.range(n_docs, numPartitions=n_partitions
                       or spark.sparkContext.defaultParallelism)
     return rng.mapInPandas(gen, PAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Site corpus: pages of one domain share a global namespace — "lib" pages
+# define functions, "app" pages call them.  Drives the cross-document flow
+# query (query/crosspage.py).
+# ---------------------------------------------------------------------------
+
+SITE_SNIPPETS = [
+    # 0: lib — getParam returns USER INPUT, helper does not
+    ("lib", "function getParam() { var p = location.search; return p; }\n"
+            "function helper(x) { return x; }"),
+    # 1: app — eval of getParam() result (cross-page flow when a lib page
+    #    of the same domain defines it)
+    ("app", "var p = getParam(); eval(p);"),
+    # 2: app — eval of helper() result (no flow: helper is clean)
+    ("app", "var q = helper('x'); eval(q);"),
+    # 3: lib — getConfig returns a constant (clean definition)
+    ("lib", "function getConfig() { var c = 'none'; return c; }"),
+    # 4: app — getParam result only logged (call not tainted)
+    ("app", "var r = getParam(); log(r);"),
+    # 5: app — eval of getConfig() result (no flow: clean source)
+    ("app", "var s = getConfig(); eval(s);"),
+]
+
+
+def site_page_for(i: int, seed: int = 42):
+    """Deterministic site-corpus page row (pure function)."""
+    from joern_spark.extract import extract_script_text
+
+    h = int.from_bytes(hashlib.md5(f"site:{seed}:{i}".encode()).digest()[:8],
+                       "big")
+    domain = DOMAINS[h % len(DOMAINS)]
+    url = f"https://{domain}/site-{i}"
+    _kind, snippet = SITE_SNIPPETS[i % len(SITE_SNIPPETS)]
+    html = (f"<html><head><title>s{i}</title></head><body><script>{snippet}"
+            f"\n</script></body></html>")
+    ts = BASE_EPOCH + i * 7 + (h % 5)
+    return url, ts, html.encode("utf-8"), extract_script_text(html)
+
+
+def make_site_pages(spark: SparkSession, n_docs: int = 256, seed: int = 42,
+                    n_partitions: int | None = None) -> DataFrame:
+    """Distributed generation of the site corpus."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                url, ts, html, text = site_page_for(int(i), seed)
+                rows.append((int(i), url, pd.Timestamp(ts, unit="s"), html,
+                             text, "en"))
+            yield pd.DataFrame(
+                rows, columns=["doc_seq", "url", "warc_ts", "html", "text",
+                               "lang"])
+
+    rng = spark.range(n_docs, numPartitions=n_partitions
+                      or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, PAGE_SCHEMA)

@@ -1,0 +1,60 @@
+"""Cross-document (site-level) flow tests — query/crosspage.py.
+
+The per-page summaries reuse the reference-parity engine (reachableBy);
+the cross-page composition is this engine's site-level extension: a
+library page's tainted return + an app page's eval-feeding call of the
+same function on the same domain."""
+
+from __future__ import annotations
+
+from joern_spark.query.crosspage import cross_page_flows, summarize_page
+from joern_spark.sources.corpus import make_site_pages
+
+
+LIB = ("<html><body><script>function getParam() "
+       "{ var p = location.search; return p; }\n"
+       "function helper(x) { return x; }\n</script></body></html>")
+APP = "<html><body><script>var p = getParam(); eval(p);\n</script></body></html>"
+APP_CLEAN = "<html><body><script>var q = helper('x'); eval(q);\n</script></body></html>"
+APP_LOG = "<html><body><script>var r = getParam(); log(r);\n</script></body></html>"
+
+
+def _flags(url, html):
+    return {(k, n): t for (_d, _u, k, n, t) in summarize_page(url, html)}
+
+
+def test_summarize_lib_page():
+    f = _flags("https://a.example.com/lib", LIB)
+    assert f[("def", "getParam")] is True      # returns location.search
+    assert f[("def", "helper")] is False       # returns its own argument
+
+
+def test_summarize_app_pages():
+    assert _flags("https://a.example.com/app", APP)[("call", "getParam")] is True
+    assert _flags("https://a.example.com/c", APP_CLEAN)[("call", "helper")] is True
+    # result only logged -> not an eval flow
+    assert _flags("https://a.example.com/l", APP_LOG)[("call", "getParam")] is False
+
+
+def test_cross_page_flows_join(spark):
+    """512-page site corpus: only getParam produces cross-page flows
+    (getConfig's definition is clean; helper's definition is clean), and
+    every domain's count is the def-pages x call-pages product."""
+    rows = cross_page_flows(make_site_pages(spark, n_docs=512)).collect()
+    assert rows, "expected cross-page flows"
+    assert {r.func_name for r in rows} == {"getParam"}
+    for r in rows:
+        assert r.n_cross_flows == r.n_source_pages * r.n_sink_pages
+        assert r.n_source_pages > 0 and r.n_sink_pages > 0
+
+
+def test_same_page_does_not_self_flow():
+    """A page that defines AND calls its own function emits no call row
+    for it — the flow must genuinely cross documents."""
+    html = ("<html><body><script>function getParam() "
+            "{ var p = location.search; return p; }\n"
+            "var x = getParam(); eval(x);\n</script></body></html>")
+    keys = {(k, n) for (_d, _u, k, n, _t)
+            in summarize_page("https://a.example.com/self", html)}
+    assert ("def", "getParam") in keys
+    assert ("call", "getParam") not in keys

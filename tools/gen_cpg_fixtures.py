@@ -192,6 +192,43 @@ def main():
               ["query_name", "n_docs_flagged", "n_matches"],
               sorted((qn, flagged[qn], matches[qn]) for qn in flagged))
 
+    # cpg_cross_page_flows: make_site_pages(512) — per-residue summaries
+    # via the SAME summarize_page the Spark UDF runs, then the
+    # (domain, func_name) def×call join in plain Python
+    from joern_spark.query.crosspage import summarize_page
+    from joern_spark.sources.corpus import SITE_SNIPPETS, site_page_for
+
+    residue_summary = {}
+    for r in range(len(SITE_SNIPPETS)):
+        url, _, html, _ = site_page_for(r)
+        # flags depend only on the snippet; recompute once per residue
+        residue_summary[r] = [
+            (kind, name, tainted)
+            for (_d, _u, kind, name, tainted) in
+            summarize_page(url, html.decode())
+        ]
+    defs_by = defaultdict(set)    # (domain, name) -> def urls
+    calls_by = defaultdict(set)   # (domain, name) -> call urls
+    for i in range(512):
+        url, _, _, _ = site_page_for(i)
+        domain = url.split("/")[2]
+        for kind, name, tainted in residue_summary[i % len(SITE_SNIPPETS)]:
+            if not tainted:
+                continue
+            (defs_by if kind == "def" else calls_by)[(domain, name)].add(url)
+    rows = []
+    for key in sorted(set(defs_by) & set(calls_by)):
+        domain, name = key
+        pairs = sum(1 for d in defs_by[key] for c in calls_by[key] if d != c)
+        if pairs:
+            rows.append((domain, name, len(defs_by[key]),
+                         len({c for d in defs_by[key]
+                              for c in calls_by[key] if d != c}),
+                         pairs))
+    write_csv("cpg_cross_page_flows.csv",
+              ["domain", "func_name", "n_source_pages", "n_sink_pages",
+               "n_cross_flows"], rows)
+
 
 if __name__ == "__main__":
     main()
