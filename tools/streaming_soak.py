@@ -32,18 +32,29 @@ import argparse
 import json
 import os
 import shutil
+import sys
 import time
 
 import pandas as pd
 
-from joern_spark.session import get_spark
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from joern_spark.session import get_spark  # noqa: E402
 from joern_spark.sources.corpus import PAGE_SCHEMA, page_for
 from joern_spark.streaming import job
-from joern_spark.streaming.merge import compact_findings, latest_findings
+from joern_spark.streaming.merge import compact_findings  # noqa: E402
 
 
-def write_chunk(spark, pages_dir: str, lo: int, hi: int, files: int = 4):
-    """Append pages [lo, hi) as `files` parquet files (micro-batch units)."""
+def write_chunk(spark, pages_dir: str, lo: int, hi: int, files: int = 1):
+    """Append pages [lo, hi) as `files` parquet files (micro-batch units).
+
+    One file per chunk by default: the file stream source orders files by
+    modification time, and several files written concurrently by one
+    chunk can land in ANY time order — a later-time file processed first
+    advances the watermark past its siblings and (correctly) drops their
+    oldest rows.  The watermark's 2h disorder bound is a contract on the
+    ARRIVAL order; the harness must deliver chunks time-ordered, the way
+    a WARC ingest feed does."""
 
     def gen(batches):
         for pdf in batches:
@@ -92,6 +103,7 @@ def main():
         .write.format("noop").mode("overwrite").save()
 
     per_chunk = args.docs // args.chunks
+    files_per = par  # chunk width == batch width == scan parallelism
     chunks_per_phase = max(1, args.chunks // args.kills)
     written = 0
     stream_seconds = 0.0
@@ -103,11 +115,12 @@ def main():
         n_chunks = (args.chunks - phase * chunks_per_phase
                     if phase == args.kills - 1 else chunks_per_phase)
         for _ in range(n_chunks):
-            write_chunk(spark, pages_dir, written, written + per_chunk)
+            write_chunk(spark, pages_dir, written, written + per_chunk,
+                        files=files_per)
             written += per_chunk
 
         q = job.run_stream(spark, pages_dir, out_dir, cp_dir,
-                           available_now=True)
+                           available_now=True, files_per_trigger=files_per)
         t0 = time.perf_counter()
         q.awaitTermination(1800)
         dt = time.perf_counter() - t0
@@ -121,14 +134,15 @@ def main():
             "sink_bytes": dir_size(out_dir),
         })
         # kill happened implicitly (availableNow drain + stop); run the
-        # compaction maintenance job between phases and verify the read
-        # path is unchanged by it
+        # compaction maintenance job between phases — the MERGE'd
+        # current-state table must equal the latest-wins read path every
+        # cycle (partition-pruned upsert under a live epoch history)
         before = {(str(r.window_start), r.query_name): (r.n_matches, r.n_docs)
                   for r in job.read_results(spark, out_dir).collect()}
-        compact_findings(spark, out_dir)
+        compact_findings(spark, out_dir, f"{base}/current")
         after = {(str(r.window_start), r.query_name): (r.n_matches, r.n_docs)
-                 for r in latest_findings(spark, out_dir).collect()}
-        assert after == before, f"compaction changed results in phase {phase}"
+                 for r in spark.read.parquet(f"{base}/current").collect()}
+        assert after == before, f"compaction diverged in phase {phase}"
 
     # golden: batch computation over the identical full corpus
     batch = job.windowed_findings(spark.read.parquet(pages_dir),
