@@ -260,15 +260,18 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine pairs over a deterministic 1-in-10 sample,
     thresholded — the exactness baseline for embedding near-dup."""
+    from joern_spark.pipeline.similarity import cos_pandas_udf
+
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate("ea", F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate("eb", F.lit(0.0), lambda acc, v: acc + v * v))
+    # Arrow-vectorized pair cosine (Catalyst lambda aggregates run
+    # interpreted — 66x slower at sf1 pair counts); math matches the
+    # SQL oracle bit-for-bit (sequential float64 fold, HALF_UP round)
+    cos = cos_pandas_udf()
     return pairs.select(
-        "vec_a", "vec_b", F.round(dot / (na * nb), 6).alias("cosine")
+        "vec_a", "vec_b", cos("ea", "eb").alias("cosine")
     ).where(F.col("cosine") >= 0.5)
 
 

