@@ -77,7 +77,9 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("q_emb"),
     )
     scored = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("nbr_id"))
-    scored = scored.select("query_id", "nbr_id", _cos("q_emb", "c_emb").alias("cosine"))
+    cos = cos_pandas_udf()  # Arrow kernel, value-identical to _cos
+    scored = scored.select("query_id", "nbr_id",
+                           cos(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -212,7 +214,9 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .where(F.col("query_id") != F.col("nbr_id"))
             .select("query_id", "nbr_id", "q_emb", "c_emb")
             .dropDuplicates(["query_id", "nbr_id"]))
-    scored = cand.select("query_id", "nbr_id", _cos("q_emb", "c_emb").alias("cosine"))
+    cos = cos_pandas_udf()  # Arrow kernel, value-identical to _cos
+    scored = cand.select("query_id", "nbr_id",
+                         cos(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
