@@ -58,3 +58,25 @@ def test_same_page_does_not_self_flow():
             in summarize_page("https://a.example.com/self", html)}
     assert ("def", "getParam") in keys
     assert ("call", "getParam") not in keys
+
+
+def test_embedding_near_dups_lsh_bucketed(spark):
+    """pipeline/similarity.embedding_near_dups: the LSH-bucketed scale
+    path finds the same pairs as a brute-force threshold scan on a small
+    corpus where bucketing cannot miss (copies land in the same bucket)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from joern_spark.pipeline.similarity import embedding_near_dups
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(8, 64).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v]))
+        # exact copy under a new id → cosine 1.0, same LSH bucket
+        rows.append((i * 2 + 1, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.vec_a, r.vec_b)
+           for r in embedding_near_dups(df, threshold=0.999).collect()}
+    assert got == {(i * 2, i * 2 + 1) for i in range(8)}

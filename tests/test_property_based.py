@@ -137,3 +137,19 @@ def test_extractors_preserve_length_on_garbage(src):
         assert len(out) == len(src), fn.__name__
         assert [i for i, c in enumerate(src) if c == "\n"] == \
             [i for i, c in enumerate(out) if c == "\n"], fn.__name__
+
+
+# the EJS ingestion route (round 4): lowering a .ejs document must never
+# crash, and the fake `ap` callee must never leak into call or
+# identifier names — whatever garbage the template contains
+@settings(max_examples=60, deadline=5000)
+@given(st.text(
+    alphabet="<>%=-_# /scriptejnd\"'{}()[]abc123,\n;.!", max_size=200))
+def test_ejs_route_terminates_and_never_leaks_ap(src):
+    try:
+        cpg = build_cpg(src, "fuzz.ejs")
+    except Exception:
+        return
+    names = {n.name for n in cpg.nodes_by_label("CALL")} \
+        | {n.name for n in cpg.nodes_by_label("IDENTIFIER")}
+    assert "ap" not in names
