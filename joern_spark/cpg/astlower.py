@@ -1817,8 +1817,10 @@ class AstLowerer:
         """AstCreatorHelper.ejsOutputCallName (jssrc2cpg, lines 293-304): a
         callee whose ORIGINAL-source code is exactly `<%` is the EJS fake
         output call `ap(...)`; the char after it picks the modeled name —
-        `=` → escapeFn (escaped output), `-` → __append (raw output)."""
-        if self.src is self._parse_src:
+        `=` → escapeFn (escaped output), `-` → __append (raw output).
+        EJS-gated: Vue is also dual-text, but only the EJS preprocessor
+        manufactures `ap` calls over `<%` spans."""
+        if not self.filename.endswith(".ejs"):
             return None
         if self.src[js["start"]:js["end"]] != "<%":
             return None
