@@ -291,7 +291,8 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.extract_media_features(media)
     return feats.select("media_id", "media_type", "n_bytes",
                         "width", "height", "n_channels", "sample_rate",
-                        "mean_r", "mean_g", "mean_b", "pixel_entropy")
+                        "mean_r", "mean_g", "mean_b", "pixel_entropy",
+                        "wav_rms", "wav_zero_crossings")
 
 
 # ---------------------------------------------------------------------------
@@ -888,6 +889,40 @@ def oracle_sql() -> dict[str, str]:
                            6) AS e
               FROM vcount vc JOIN png ON vc.media_id = png.media_id
               GROUP BY vc.media_id, w, h
+            ),
+            -- WAV payload = md5(str(id)) raw bytes x (1 + id%7); data chunk
+            -- reinterpreted as little-endian int16 (the generator's exact
+            -- construction, rebuilt from DuckDB's own md5)
+            wav AS (
+              SELECT media_id, 8 * (1 + media_id % 7) AS n_samples,
+                     md5(CAST(media_id AS VARCHAR)) AS hex
+              FROM m WHERE media_id % 3 = 1
+            ),
+            wsamp AS (
+              SELECT media_id, k,
+                     CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+              FROM (
+                SELECT w.media_id, k.k AS k,
+                       ('0x' || substr(w.hex, ((2*k.k) % 16)*2 + 1, 2))::INT
+                       + 256 * ('0x' || substr(w.hex, ((2*k.k+1) % 16)*2 + 1, 2))::INT AS u
+                FROM wav w, range(0, 56) k(k)
+                WHERE k.k < w.n_samples
+              )
+            ),
+            wrms AS (
+              SELECT media_id,
+                     sqrt(CAST(sum(s*s) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS rms
+              FROM wsamp GROUP BY media_id
+            ),
+            wzc AS (
+              SELECT media_id,
+                     CAST(sum(CASE WHEN prev_s IS NOT NULL
+                                    AND ((s < 0) != (prev_s < 0))
+                              THEN 1 ELSE 0 END) AS BIGINT) AS zc
+              FROM (SELECT media_id, s,
+                           lag(s) OVER (PARTITION BY media_id ORDER BY k) AS prev_s
+                    FROM wsamp)
+              GROUP BY media_id
             )
             SELECT m.media_id,
                    CASE m.media_id % 3 WHEN 0 THEN 'image/png'
@@ -908,12 +943,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE m.media_id % 3
                           WHEN 1 THEN 8000 * (1 + m.media_id % 5) END AS INT) AS sample_rate,
                    r.mv AS mean_r, g.mv AS mean_g, b.mv AS mean_b,
-                   ent.e AS pixel_entropy
+                   ent.e AS pixel_entropy,
+                   wrms.rms AS wav_rms, wzc.zc AS wav_zero_crossings
             FROM m
             LEFT JOIN png ON m.media_id = png.media_id
             LEFT JOIN chan_mean r ON m.media_id = r.media_id AND r.chan = 0
             LEFT JOIN chan_mean g ON m.media_id = g.media_id AND g.chan = 1
             LEFT JOIN chan_mean b ON m.media_id = b.media_id AND b.chan = 2
             LEFT JOIN ent ON m.media_id = ent.media_id
+            LEFT JOIN wrms ON m.media_id = wrms.media_id
+            LEFT JOIN wzc ON m.media_id = wzc.media_id
         """,
     }

@@ -54,6 +54,10 @@ MEDIA_FEATURE_SCHEMA = StructType(
         StructField("mean_g", DoubleType()),
         StructField("mean_b", DoubleType()),
         StructField("pixel_entropy", DoubleType()),
+        # sample-level features (WAV only): RMS amplitude + strict sign
+        # flips over the decoded PCM int16 stream
+        StructField("wav_rms", DoubleType()),
+        StructField("wav_zero_crossings", LongType()),
     ]
 )
 
@@ -206,6 +210,39 @@ def png_pixel_stats(payload: bytes) -> "dict | None":
     }
 
 
+def wav_sample_stats(payload: bytes) -> "dict | None":
+    """REAL sample decode for 16-bit PCM WAV: RIFF chunk walk to `data`,
+    reinterpret as little-endian int16, return {wav_rms,
+    wav_zero_crossings}.  RMS = sqrt(mean(s^2)) with an exact integer
+    sum-of-squares (engine-identical double); zero crossings = count of
+    strict sign flips ((s[i] < 0) != (s[i+1] < 0)).  Returns None for
+    non-WAV input, non-16-bit formats, or a missing/odd data chunk."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if bits != 16 or data is None or len(data) < 2:
+        return None
+    s = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2") \
+        .astype(np.int64)
+    rms = float(np.sqrt(np.cumsum(s * s)[-1] / float(len(s))))
+    neg = s < 0
+    zc = int(np.count_nonzero(neg[:-1] != neg[1:]))
+    return {"wav_rms": rms, "wav_zero_crossings": zc}
+
+
 def _payload_feature(payload: bytes, n_buckets: int = 8) -> list[float]:
     """8-bucket byte histogram over the payload, normalized — a real
     (if simple) content feature computed from the actual bytes."""
@@ -233,6 +270,7 @@ def extract_media_features(df: DataFrame, id_col: str = "media_id", blob_col: st
                 payload = bytes(blob) if blob is not None else b""
                 hdr = decode_media_header(payload)
                 pix = png_pixel_stats(payload) or {}
+                wav = wav_sample_stats(payload) or {}
                 rows.append(
                     (
                         int(mid),
@@ -248,6 +286,8 @@ def extract_media_features(df: DataFrame, id_col: str = "media_id", blob_col: st
                         pix.get("mean_g"),
                         pix.get("mean_b"),
                         pix.get("pixel_entropy"),
+                        wav.get("wav_rms"),
+                        wav.get("wav_zero_crossings"),
                     )
                 )
             out = pd.DataFrame(

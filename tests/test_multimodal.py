@@ -183,3 +183,32 @@ def test_png_pixel_stats_rejects_non_rgb8_and_garbage():
     # truncated IDAT → None, not an exception
     good = _png_blob(3)
     assert png_pixel_stats(good[:60]) is None
+
+
+def test_wav_sample_stats_known_values():
+    """wav_sample_stats decodes the generator's PCM: payload is
+    md5(str(id)) x reps as little-endian int16."""
+    import hashlib
+
+    from joern_spark.pipeline.multimodal import _wav_blob, wav_sample_stats
+
+    for mid in (1, 4, 7, 13):
+        payload = hashlib.md5(str(mid).encode()).digest() * (1 + mid % 7)
+        st = wav_sample_stats(_wav_blob(mid, payload))
+        s = np.frombuffer(payload, dtype="<i2").astype(np.int64)
+        rms = float(np.sqrt((s * s).sum() / float(len(s))))
+        neg = s < 0
+        zc = int(np.count_nonzero(neg[:-1] != neg[1:]))
+        assert st["wav_rms"] == rms
+        assert st["wav_zero_crossings"] == zc
+
+
+def test_wav_sample_stats_rejects_non_pcm16():
+    from joern_spark.pipeline.multimodal import wav_sample_stats
+    assert wav_sample_stats(b"not a wav") is None
+    # 8-bit fmt -> None
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt \
+        + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert wav_sample_stats(blob) is None
