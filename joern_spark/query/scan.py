@@ -138,13 +138,6 @@ def _real_args(nodes):
     return [a for a in nodes if a.argument_index >= 1]
 
 
-def _rhs_args(nodes):
-    # assignment sinks: only the RHS (index 2) — the LHS fieldAccess
-    # (index 1) is tainted by its own base (location.href = ... would
-    # self-flag through the `location` base identifier)
-    return [a for a in nodes if a.argument_index >= 2]
-
-
 def _cmd_sinks(q: Q):
     return _real_args(
         q.call().name("(exec|execSync|execFile|spawn|system|popen)")
