@@ -323,6 +323,9 @@ class Cpg:
         # since it was computed (passes call it repeatedly per method)
         self._ast_version = 0
         self._body_memo: dict[int, tuple[int, list[Node]]] = {}
+        # O(1) ast_parent: first AST in-edge wins (edges are never
+        # removed, so first-writer-wins is exact)
+        self._ast_parent: dict[int, Node] = {}
         # closure capture records: (declaration Node, capturing method Node)
         self.captures: list[tuple[Node, Node]] = []
 
@@ -368,6 +371,8 @@ class Cpg:
         if label == "AST":
             self._ast_kids.pop(src.id, None)
             self._ast_version += 1
+            if dst.id not in self._ast_parent:
+                self._ast_parent[dst.id] = src
         elif label == "ARGUMENT":
             self._args.pop(src.id, None)
 
@@ -387,8 +392,7 @@ class Cpg:
         return kids
 
     def ast_parent(self, node: Node) -> Optional[Node]:
-        es = self.inn(node, "AST")
-        return es[0].src if es else None
+        return self._ast_parent.get(node.id)
 
     def ast_subtree(self, node: Node) -> list[Node]:
         """All AST-reachable nodes incl. node (preorder)."""
