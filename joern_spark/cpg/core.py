@@ -453,7 +453,11 @@ class Cpg:
         """Every AST node within the method body, not descending into
         nested methods/type decls (the analysis-side body collection; the
         CONTAINS edge table follows the reference ContainsEdgePass
-        destination set, which excludes params/returns/locals)."""
+        destination set, which excludes params/returns/locals).
+
+        Returns the MEMOIZED list itself (hot path — a defensive copy per
+        call would undo the memo win): callers MUST NOT mutate the result;
+        sort/filter into a new list instead."""
         memo = self._body_memo.get(method.id)
         if memo is not None and memo[0] == self._ast_version:
             return memo[1]

@@ -169,8 +169,11 @@ class Semantics:
         self.exact = {f.method_full_name: f for f in flows if not f.regex}
         self.regexes = [f for f in flows if f.regex]
         # lookup memo incl. regex misses (None): the same full names recur
-        # across every document a worker processes
+        # across every document a worker processes.  Bounded — the
+        # default_semantics() instance is process-global and a long-lived
+        # streaming worker sees unbounded distinct full names.
         self._memo: dict[str, FlowSemantic | None] = {}
+        self._memo_cap = 16384
 
     def for_method_full_name(self, full_name: str):
         f = self.exact.get(full_name)
@@ -186,6 +189,8 @@ class Semantics:
             if re.fullmatch(r.method_full_name, full_name):
                 out = r
                 break
+        if len(self._memo) >= self._memo_cap:
+            self._memo.clear()  # cheap wholesale reset beats LRU bookkeeping
         self._memo[full_name] = out
         return out
 

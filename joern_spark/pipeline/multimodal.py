@@ -155,15 +155,23 @@ def png_pixel_stats(payload: bytes) -> "dict | None":
         pos += 12 + length  # length + type + data + crc
     if not width or not height or not idat:
         return None
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
+    # Decompression-bomb guard: IHDR dimensions are attacker-controlled;
+    # cap the pixel count BEFORE allocating, and bound the inflate to the
+    # exact expected output (height scanlines of 1 filter byte + RGB row)
+    # so a tiny crafted stream cannot expand past it.
+    if width * height > 1 << 26:  # 64 Mpix ≈ 192 MB decoded
         return None
     stride = width * 3
-    if len(raw) != height * (1 + stride):
+    expected = height * (1 + stride)
+    try:
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    except zlib.error:
+        return None
+    if len(raw) != expected:  # undersized stream or overrun past the cap
         return None
     out = np.zeros((height, stride), dtype=np.uint8)
     bpp = 3
+    zeros_px = np.zeros(bpp, dtype=np.int64)
     for y in range(height):
         off = y * (1 + stride)
         ftype = raw[off]
@@ -174,23 +182,33 @@ def png_pixel_stats(payload: bytes) -> "dict | None":
             rec = line
         elif ftype == 2:      # Up
             rec = (line + prev) & 0xFF
-        else:                 # Sub/Average/Paeth need the in-row left pixel
-            rec = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                left = rec[i - bpp] if i >= bpp else 0
-                up = prev[i]
-                if ftype == 1:      # Sub
-                    pred = left
-                elif ftype == 3:    # Average
+        elif ftype == 1:      # Sub: per-channel prefix sum mod 256
+            rec = (np.cumsum(line.reshape(width, bpp), axis=0) & 0xFF).reshape(-1)
+        elif ftype in (3, 4):
+            # Average/Paeth carry a true left-pixel recurrence (the floor
+            # divide / predictor choice is nonlinear, no closed cumsum) —
+            # loop over WIDTH, vectorized across the 3 channels per step.
+            lp = line.reshape(width, bpp)
+            pp = prev.reshape(width, bpp)
+            recm = np.zeros((width, bpp), dtype=np.int64)
+            left = zeros_px
+            for x in range(width):
+                up = pp[x]
+                if ftype == 3:   # Average
                     pred = (left + up) >> 1
-                elif ftype == 4:    # Paeth
-                    ul = int(prev[i - bpp]) if i >= bpp else 0
+                else:            # Paeth
+                    ul = pp[x - 1] if x > 0 else zeros_px
                     p = left + up - ul
-                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
-                else:
-                    return None
-                rec[i] = (line[i] + pred) & 0xFF
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - up)
+                    pc = np.abs(p - ul)
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, up, ul))
+                left = (lp[x] + pred) & 0xFF
+                recm[x] = left
+            rec = recm.reshape(-1)
+        else:
+            return None
         out[y] = rec.astype(np.uint8)
     pix = out.reshape(height, width, 3)
     n = height * width

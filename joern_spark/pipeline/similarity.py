@@ -44,19 +44,45 @@ def cos_pandas_udf():
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    def _kernel(A, B):
+        dots = np.cumsum(A * B, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = dots / (na * nb)  # zero-norm / null element → nan → null
+        c = np.where(np.isfinite(c), c, np.nan)
+        # HALF_UP like Catalyst F.round / DuckDB round (np.round is
+        # half-EVEN and could disagree on an exact .5e-6 boundary)
+        return np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+
     @pandas_udf("double")
     def cos(ea, eb):
         if not len(ea):
             return pd.Series([], dtype="float64")
-        A = np.array(ea.tolist(), dtype=np.float64)
-        B = np.array(eb.tolist(), dtype=np.float64)
-        dots = np.cumsum(A * B, axis=1)[:, -1]
-        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
-        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
-        c = dots / (na * nb)
-        # HALF_UP like Catalyst F.round / DuckDB round (np.round is
-        # half-EVEN and could disagree on an exact .5e-6 boundary)
-        return pd.Series(np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6)
+        # Fast path: dense equal-length batch (null ELEMENTS become NaN
+        # under dtype=float64 and fall out as null).  A null array or
+        # ragged lengths make np.array raise — fall back to a per-row
+        # guarded pass so one bad row degrades to null instead of
+        # failing the whole Arrow batch (a Catalyst expression would
+        # null the row, not the stage).
+        try:
+            A = np.array(ea.tolist(), dtype=np.float64)
+            B = np.array(eb.tolist(), dtype=np.float64)
+            if A.ndim == 2 and A.shape == B.shape:
+                return pd.Series(_kernel(A, B))
+        except (ValueError, TypeError):
+            pass
+        out = np.full(len(ea), np.nan)
+        for i, (a, b) in enumerate(zip(ea, eb)):
+            if a is None or b is None or len(a) != len(b) or not len(a):
+                continue
+            try:
+                out[i] = _kernel(
+                    np.array([list(a)], dtype=np.float64),
+                    np.array([list(b)], dtype=np.float64))[0]
+            except (ValueError, TypeError):
+                pass
+        return pd.Series(out)
 
     return cos
 

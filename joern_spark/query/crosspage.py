@@ -78,15 +78,20 @@ def summarize_page(url: str, html: str) -> list[tuple]:
 
     eval_args = [a for c in q.call().name(_EVAL_RE).l()
                  for a in cpg.arguments(c) if a.argument_index >= 1]
-    seen = set()
+    # Group ALL call nodes by callee name and taint-test the whole group:
+    # `var r = f(); log(r); var p = f(); eval(p);` must summarize f as
+    # tainted even though only the SECOND call feeds eval.
+    by_name: dict[str, list] = {}
     for c in q.call().l():
         name = c.name
         if (name.startswith("<operator>") or name in defined
-                or name in seen or not name
+                or not name
                 or name in ("eval", "Function", "execScript")):
             continue
-        seen.add(name)
-        tainted = bool(eval_args and reachable_by_flows(cpg, eval_args, [c]))
+        by_name.setdefault(name, []).append(c)
+    for name, calls in by_name.items():
+        tainted = bool(eval_args
+                       and reachable_by_flows(cpg, eval_args, calls))
         rows.append((domain, url, "call", name, tainted))
     return rows
 

@@ -36,6 +36,20 @@ def test_summarize_app_pages():
     assert _flags("https://a.example.com/l", APP_LOG)[("call", "getParam")] is False
 
 
+def test_summarize_repeated_call_any_tainted():
+    """Multiple calls of the same name: the summary must be tainted if ANY
+    of them feeds eval, not just the first (`log(r)` first, `eval(p)`
+    second)."""
+    html = ("<html><body><script>var r = getParam(); log(r);\n"
+            "var p = getParam(); eval(p);\n</script></body></html>")
+    f = _flags("https://a.example.com/multi", html)
+    assert f[("call", "getParam")] is True
+    # and exactly one summary row per name, not one per call site
+    rows = summarize_page("https://a.example.com/multi", html)
+    names = [n for (_d, _u, k, n, _t) in rows if k == "call"]
+    assert names.count("getParam") == 1
+
+
 def test_cross_page_flows_join(spark):
     """512-page site corpus: only getParam produces cross-page flows
     (getConfig's definition is clean; helper's definition is clean), and

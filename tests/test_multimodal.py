@@ -185,6 +185,24 @@ def test_png_pixel_stats_rejects_non_rgb8_and_garbage():
     assert png_pixel_stats(good[:60]) is None
 
 
+def test_png_pixel_stats_bomb_guarded():
+    """Attacker-controlled IHDR dims / decompression bombs return None
+    before allocating or inflating past the expected output size."""
+    # huge declared dimensions, tiny stream → dimension cap, no allocation
+    ihdr = struct.pack(">II", 1 << 20, 1 << 20) + bytes([8, 2, 0, 0, 0])
+    bomb = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + _png_chunk(b"IEND", b""))
+    assert png_pixel_stats(bomb) is None
+    # stream inflating to MORE than height*(1+stride) → None (bounded
+    # decompressobj stops at expected+1; 50 MB never materializes)
+    ihdr = struct.pack(">II", 2, 2) + bytes([8, 2, 0, 0, 0])
+    over = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (50 << 20)))
+            + _png_chunk(b"IEND", b""))
+    assert png_pixel_stats(over) is None
+
+
 def test_wav_sample_stats_known_values():
     """wav_sample_stats decodes the generator's PCM: payload is
     md5(str(id)) x reps as little-endian int16."""
