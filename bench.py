@@ -82,21 +82,30 @@ def main() -> None:
      .groupBy("l_returnflag").count()
      .write.format("noop").mode("overwrite").save())
 
-    # best-of-N per query (default 2): this host shows intermittent
-    # hypervisor steal that can double a single-shot timing; the minimum
-    # over independent runs is the honest sustained number
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    timings: dict[str, float] = {}
-    for name in wanted:
-        if name not in qmap:
-            continue
-        best = float("inf")
-        for _ in range(max(1, reps)):
+    # K full-suite repetitions (default 3), per-query MINIMA + spread in
+    # the emitted JSON: this host shows intermittent hypervisor steal that
+    # can double a single-shot timing (same-code totals measured 19.4-32.2s
+    # across windows in round 4).  Whole-suite sweeps separate a query's
+    # repetitions in time, so a steal burst cannot poison every rep of one
+    # query; the per-query minimum over sweeps is the honest sustained
+    # number and the recorded spread lets any reader judge the noise
+    # without cross-referencing prose.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    names_run = [n for n in wanted if n in qmap]
+    samples: dict[str, list[float]] = {n: [] for n in names_run}
+    rep_totals: list[float] = []
+    for _ in range(reps):
+        sweep = 0.0
+        for name in names_run:
             t0 = time.perf_counter()
             df = qmap[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            sweep += dt
+        rep_totals.append(round(sweep, 3))
+    timings = {n: round(min(s), 3) for n, s in samples.items()}
+    spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
 
     total = round(sum(timings.values()), 3)
     # sustained docs/sec for the flagship CPG pipeline (north_star metric):
@@ -112,6 +121,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spread,
+                "reps": reps,
+                "rep_totals": rep_totals,
                 "cpg_docs_per_sec": docs_per_sec,
                 "sf": sf,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
