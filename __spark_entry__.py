@@ -388,6 +388,24 @@ def cpg_cross_page_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_page_flows(pages)
 
 
+def cpg_cross_page_flows_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE cross-document taint over the chain corpus (256 pages):
+    page A defines getParam (returns user input), page B wraps it in
+    buildUrl, page C wraps that in navTo, page D evals navTo() — no page
+    pair contains the flow.  One narrow Arrow pass builds def/call/wrap
+    summaries; the closure runs on the tiny summary graph via the same
+    iterative-join BFS as corpus reachability (reachable_pairs), k-limited
+    like the engine.  Oracle: a recursive CTE in DuckDB computes the same
+    closure INDEPENDENTLY over the fixture summary rows (which the
+    pure-Python engine recomputes)."""
+    from joern_spark.query.crosspage import cross_page_flows_transitive
+    from joern_spark.sources.corpus import make_chain_pages
+
+    pages = make_chain_pages(spark, n_docs=256,
+                             n_partitions=spark.sparkContext.defaultParallelism)
+    return cross_page_flows_transitive(pages)
+
+
 def cpg_scan_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sustained-throughput flagship: 4096 synthetic pages → extract → CPG →
     scan, sized to amortize worker startup (the north_star docs/sec metric;
@@ -460,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_scan_throughput": cpg_scan_throughput,
         "cpg_web_taint": cpg_web_taint,
         "cpg_cross_page_flows": cpg_cross_page_flows,
+        "cpg_cross_page_flows_transitive": cpg_cross_page_flows_transitive,
         "cpg_reachable_pairs": cpg_reachable_pairs,
     }
 
@@ -792,6 +811,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_sink_pages AS BIGINT) AS n_sink_pages,
                    CAST(n_cross_flows AS BIGINT) AS n_cross_flows
             FROM read_csv_auto('/root/repo/fixtures/cpg_cross_page_flows.csv', header=true)
+        """,
+        # Transitive cross-page closure: the fixture holds per-page SUMMARY
+        # rows (def/call/wrap, recomputed by the pure-Python engine) and
+        # DuckDB computes the closure itself with a recursive CTE — an
+        # independent implementation of the iterative-join BFS.
+        "cpg_cross_page_flows_transitive": """
+            WITH RECURSIVE s AS (
+                SELECT * FROM read_csv_auto(
+                    '/root/repo/fixtures/cpg_chain_summaries.csv',
+                    header=true,
+                    columns={'domain':'VARCHAR','url':'VARCHAR',
+                             'kind':'VARCHAR','func_name':'VARCHAR',
+                             'callee_name':'VARCHAR','tainted':'BOOLEAN'})
+            ),
+            tainted_fn(domain, name, origin) AS (
+                SELECT domain, func_name, func_name
+                FROM s WHERE kind = 'def' AND tainted
+                UNION
+                SELECT w.domain, w.func_name, t.origin
+                FROM s w
+                JOIN tainted_fn t
+                  ON w.domain = t.domain AND w.callee_name = t.name
+                WHERE w.kind = 'wrap' AND w.tainted
+            )
+            SELECT DISTINCT c.domain AS domain, t.origin AS origin_func,
+                   c.func_name AS called_func
+            FROM s c
+            JOIN tainted_fn t
+              ON c.domain = t.domain AND c.func_name = t.name
+            WHERE c.kind = 'call' AND c.tainted
         """,
         "cpg_reachable_pairs": """
             SELECT url, CAST(n_pairs AS BIGINT) AS n_pairs

@@ -52,6 +52,7 @@ DEFAULT_BENCH = [
     "cpg_scan_throughput",  # flagship: sustained docs/sec over 4096 pages
     "cpg_web_taint",        # querydb-shape taint bundle over 1024 pages
     "cpg_cross_page_flows",  # site-level summarize-then-join flows, 512 pages
+    "cpg_cross_page_flows_transitive",  # wrapper-chain closure, 256 pages
 ]
 
 

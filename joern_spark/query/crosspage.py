@@ -53,12 +53,53 @@ SUMMARY_SCHEMA = StructType([
                                              # call: result reaches eval
 ])
 
+# Extended summaries add 'wrap' rows for the transitive composition:
+# func_name WRAPS callee_name (the result of an unresolved call to
+# callee_name flows to func_name's RETURN).
+SUMMARY_EXT_SCHEMA = StructType([
+    StructField("domain", StringType()),
+    StructField("url", StringType()),
+    StructField("kind", StringType()),       # 'def' | 'call' | 'wrap'
+    StructField("func_name", StringType()),
+    StructField("callee_name", StringType()),  # wrap rows only, else null
+    StructField("tainted", BooleanType()),
+])
+
 _EVAL_RE = "(eval|Function|execScript)"
+_EVAL_NAMES = ("eval", "Function", "execScript")
 
 
-def summarize_page(url: str, html: str) -> list[tuple]:
-    """Per-page summary rows (pure function; also used by the fixture
-    oracle generator)."""
+def _unresolved_calls_by_name(cpg, q, defined: set[str], nodes=None):
+    """CALL nodes grouped by callee name, skipping operators, locally
+    defined functions and the eval family.  `nodes` restricts to a node
+    subset (e.g. one method's body)."""
+    by_name: dict[str, list] = {}
+    pool = nodes if nodes is not None else q.call().l()
+    for c in pool:
+        if c.label != "CALL":
+            continue
+        name = c.name
+        if (not name or name.startswith("<operator>") or name in defined
+                or name in _EVAL_NAMES):
+            continue
+        by_name.setdefault(name, []).append(c)
+    return by_name
+
+
+def summarize_page_ext(url: str, html: str) -> list[tuple]:
+    """Per-page summary rows incl. wrap edges (pure function; also used
+    by the fixture oracle generator).
+
+    Returns (domain, url, kind, func_name, callee_name, tainted) with
+
+    - kind='def': func_name's RETURN carries user input (reachableBy from
+      the web-source field reads)
+    - kind='call': the result of SOME call to func_name reaches an
+      eval-family sink argument — all call nodes of a name are tested as
+      one group
+    - kind='wrap': func_name is defined here and its RETURN depends on the
+      result of an unresolved call to callee_name (taint PASSES THROUGH)
+    """
     domain = urlparse(url).netloc
     text = extract_script_text(html)
     cpg = build_cpg(text, url)
@@ -66,34 +107,40 @@ def summarize_page(url: str, html: str) -> list[tuple]:
     rows = []
 
     sources = _web_sources(q)
-    defined = set()
+    defined = {m.name for m in cpg.methods()
+               if not m.name.startswith((":", "<")) and not m.is_external}
     for m in cpg.methods():
         if m.name.startswith((":", "<")) or m.is_external:
             continue
-        defined.add(m.name)
-        rets = [n for n in cpg.method_body_nodes(m) if n.label == "RETURN"]
+        body = cpg.method_body_nodes(m)
+        rets = [n for n in body if n.label == "RETURN"]
         tainted = bool(sources and rets
                        and reachable_by_flows(cpg, rets, sources))
-        rows.append((domain, url, "def", m.name, tainted))
+        rows.append((domain, url, "def", m.name, None, tainted))
+        # wrap edges: callee result -> this function's return
+        for callee, calls in _unresolved_calls_by_name(
+                cpg, q, defined, nodes=body).items():
+            wraps = bool(rets and reachable_by_flows(cpg, rets, calls))
+            rows.append((domain, url, "wrap", m.name, callee, wraps))
 
     eval_args = [a for c in q.call().name(_EVAL_RE).l()
                  for a in cpg.arguments(c) if a.argument_index >= 1]
     # Group ALL call nodes by callee name and taint-test the whole group:
     # `var r = f(); log(r); var p = f(); eval(p);` must summarize f as
     # tainted even though only the SECOND call feeds eval.
-    by_name: dict[str, list] = {}
-    for c in q.call().l():
-        name = c.name
-        if (name.startswith("<operator>") or name in defined
-                or not name
-                or name in ("eval", "Function", "execScript")):
-            continue
-        by_name.setdefault(name, []).append(c)
-    for name, calls in by_name.items():
+    for name, calls in _unresolved_calls_by_name(cpg, q, defined).items():
         tainted = bool(eval_args
                        and reachable_by_flows(cpg, eval_args, calls))
-        rows.append((domain, url, "call", name, tainted))
+        rows.append((domain, url, "call", name, None, tainted))
     return rows
+
+
+def summarize_page(url: str, html: str) -> list[tuple]:
+    """Per-page def/call summary rows (wrap rows dropped — the shape the
+    single-hop cross_page_flows and its fixture oracle consume)."""
+    return [(d, u, kind, name, tainted)
+            for (d, u, kind, name, _callee, tainted)
+            in summarize_page_ext(url, html) if kind != "wrap"]
 
 
 def page_flow_summaries(pages: DataFrame) -> DataFrame:
@@ -114,6 +161,74 @@ def page_flow_summaries(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return pages.select("url", "html").mapInPandas(run, SUMMARY_SCHEMA)
+
+
+def page_flow_summaries_ext(pages: DataFrame) -> DataFrame:
+    """pages(url, html) → per-page def/call/wrap summary rows.  One
+    narrow mapInPandas; no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SUMMARY_EXT_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    h = (bytes(html).decode("utf-8", "replace")
+                         if not isinstance(html, str) else html)
+                    rows.extend(summarize_page_ext(url, h))
+                except Exception:
+                    pass
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(run, SUMMARY_EXT_SCHEMA)
+
+
+def cross_page_flows_transitive(pages: DataFrame,
+                                max_hops: int = 16) -> DataFrame:
+    """Site-level flows closed TRANSITIVELY over wrapper chains: page A
+    defines `getParam` (returns user input), page B defines `buildUrl`
+    wrapping it, page C defines `navTo` wrapping that, page D evals
+    `navTo()` — no page pair contains the flow.
+
+    Plan shape: ONE narrow Arrow pass builds the extended summaries
+    (def/call/wrap rows, a few per page), persisted so the CPG-build UDF
+    runs exactly once; the closure then runs on the SUMMARY GRAPH — nodes
+    are (domain, function name), edges are tainted wrap rows — via the
+    same iterative-join BFS as corpus reachability (reachable_pairs,
+    k-limited like the engine's flow search).  The summary graph is
+    corpus-scale tiny (functions shared across pages, not nodes), so the
+    BFS rounds run in the broadcast regime; at 10^12 documents the frames
+    stay proportional to DISTINCT (domain, func) — the blobs and CPGs
+    never enter the iteration.
+
+    Returns one row per (domain, origin_func, called_func): origin_func's
+    definition carries user input on some page, and its value reaches an
+    eval through a chain of wrap edges ending at called_func, which some
+    page calls into eval."""
+    from joern_spark.dataflow.reachable import reachable_pairs
+
+    s = page_flow_summaries_ext(pages).persist()
+    tainted_defs = (s.where((F.col("kind") == "def") & F.col("tainted"))
+                    .select(F.col("domain").alias("url"),
+                            F.col("func_name").alias("node_id")))
+    eval_calls = (s.where((F.col("kind") == "call") & F.col("tainted"))
+                  .select(F.col("domain").alias("url"),
+                          F.col("func_name").alias("node_id")))
+    # taint flows callee -> wrapper, and reachable_pairs walks BACKWARDS
+    # from sinks along dst->src: src=callee, dst=wrapper
+    wrap_edges = (s.where((F.col("kind") == "wrap") & F.col("tainted"))
+                  .select(F.col("domain").alias("url"),
+                          F.col("callee_name").alias("src"),
+                          F.col("func_name").alias("dst"),
+                          F.lit("REACHING_DEF").alias("label")))
+    pairs = reachable_pairs(wrap_edges, tainted_defs, eval_calls,
+                            max_iterations=max_hops)
+    out = (pairs.select(F.col("url").alias("domain"),
+                        F.col("source_id").alias("origin_func"),
+                        F.col("sink_id").alias("called_func"))
+           .distinct())
+    s.unpersist(blocking=False)
+    return out
 
 
 def cross_page_flows(pages: DataFrame) -> DataFrame:

@@ -198,6 +198,76 @@ def site_page_for(i: int, seed: int = 42):
     return url, ts, html.encode("utf-8"), extract_script_text(html)
 
 
+# Chain corpus: wrapper functions pass user input ALONG — page A defines
+# getParam, page B wraps it in buildUrl, page C wraps that in navTo, page
+# D evals navTo()'s result.  No single page (or page pair) contains the
+# flow; it only closes transitively over the wrap edges.  Drives
+# cross_page_flows_transitive (query/crosspage.py).
+CHAIN_SNIPPETS = [
+    # 0: origin — getParam returns USER INPUT
+    ("lib", "function getParam() { var p = location.search; return p; }"),
+    # 1: wrapper hop 1 — buildUrl's return depends on getParam()'s result
+    ("wrap", "function buildUrl() { var b = getParam(); "
+             "var u = 'http://go/' + b; return u; }"),
+    # 2: wrapper hop 2 — navTo wraps buildUrl
+    ("wrap", "function navTo() { var t = buildUrl(); return t; }"),
+    # 3: sink, 3-hop chain getParam -> buildUrl -> navTo -> eval
+    ("app", "var z = navTo(); eval(z);"),
+    # 4: sink, direct 1-hop (base case still closes)
+    ("app", "var p = getParam(); eval(p);"),
+    # 5: clean origin — getConfig returns a constant
+    ("lib", "function getConfig() { var c = 'none'; return c; }"),
+    # 6: wrapper over the CLEAN origin — chain exists, taint does not
+    ("wrap", "function confUrl() { var u = getConfig(); return u; }"),
+    # 7: sink over the clean chain — must NOT flow
+    ("app", "var s = confUrl(); eval(s);"),
+    # 8: wrapper that DROPS the taint (return doesn't depend on the call)
+    ("wrap", "function ignoreIt() { var x = getParam(); "
+             "var y = 'safe'; return y; }"),
+    # 9: sink over the dropped-taint wrapper — must NOT flow
+    ("app", "var w = ignoreIt(); eval(w);"),
+    # 10: sink, 2-hop chain getParam -> buildUrl -> eval
+    ("app", "var u = buildUrl(); eval(u);"),
+    # 11: tainted chain tip only logged — must NOT flow
+    ("app", "var r = navTo(); log(r);"),
+]
+
+
+def chain_page_for(i: int, seed: int = 42):
+    """Deterministic chain-corpus page row (pure function)."""
+    from joern_spark.extract import extract_script_text
+
+    h = int.from_bytes(hashlib.md5(f"chain:{seed}:{i}".encode()).digest()[:8],
+                       "big")
+    domain = DOMAINS[h % len(DOMAINS)]
+    url = f"https://{domain}/chain-{i}"
+    _kind, snippet = CHAIN_SNIPPETS[i % len(CHAIN_SNIPPETS)]
+    html = (f"<html><head><title>c{i}</title></head><body><script>{snippet}"
+            f"\n</script></body></html>")
+    ts = BASE_EPOCH + i * 7 + (h % 5)
+    return url, ts, html.encode("utf-8"), extract_script_text(html)
+
+
+def make_chain_pages(spark: SparkSession, n_docs: int = 256, seed: int = 42,
+                     n_partitions: int | None = None) -> DataFrame:
+    """Distributed generation of the chain corpus."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                url, ts, html, text = chain_page_for(int(i), seed)
+                rows.append((int(i), url, pd.Timestamp(ts, unit="s"), html,
+                             text, "en"))
+            yield pd.DataFrame(
+                rows, columns=["doc_seq", "url", "warc_ts", "html", "text",
+                               "lang"])
+
+    rng = spark.range(n_docs, numPartitions=n_partitions
+                      or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, PAGE_SCHEMA)
+
+
 def make_site_pages(spark: SparkSession, n_docs: int = 256, seed: int = 42,
                     n_partitions: int | None = None) -> DataFrame:
     """Distributed generation of the site corpus."""

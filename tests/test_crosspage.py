@@ -74,6 +74,48 @@ def test_same_page_does_not_self_flow():
     assert ("call", "getParam") not in keys
 
 
+def test_summarize_wrap_rows():
+    """Wrap rows: a wrapper whose return depends on an unresolved call's
+    result is tainted=True; one that drops the value is tainted=False."""
+    from joern_spark.query.crosspage import summarize_page_ext
+
+    keeps = ("<html><body><script>function buildUrl() "
+             "{ var b = getParam(); var u = 'x' + b; return u; }\n"
+             "</script></body></html>")
+    drops = ("<html><body><script>function ignoreIt() "
+             "{ var x = getParam(); var y = 'safe'; return y; }\n"
+             "</script></body></html>")
+    rows = {(k, n, c): t for (_d, _u, k, n, c, t)
+            in summarize_page_ext("https://a.example.com/w", keeps)}
+    assert rows[("wrap", "buildUrl", "getParam")] is True
+    rows = {(k, n, c): t for (_d, _u, k, n, c, t)
+            in summarize_page_ext("https://a.example.com/x", drops)}
+    assert rows[("wrap", "ignoreIt", "getParam")] is False
+
+
+def test_cross_page_flows_transitive_chain(spark):
+    """Chain corpus (full residue coverage on big domains): taint closes
+    getParam -> buildUrl -> navTo across pages; the clean chain (getConfig
+    -> confUrl) and the taint-dropping wrapper (ignoreIt) do NOT flow."""
+    from joern_spark.query.crosspage import cross_page_flows_transitive
+    from joern_spark.sources.corpus import make_chain_pages
+
+    rows = cross_page_flows_transitive(make_chain_pages(spark, n_docs=256)) \
+        .collect()
+    assert rows, "expected transitive flows"
+    by_domain = {}
+    for r in rows:
+        by_domain.setdefault(r.domain, set()).add(
+            (r.origin_func, r.called_func))
+    # every flow originates at getParam; confUrl/ignoreIt never appear
+    for pairs in by_domain.values():
+        assert {o for o, _c in pairs} == {"getParam"}
+        assert not {c for _o, c in pairs} & {"confUrl", "ignoreIt"}
+    # a domain with full coverage shows the 3-page chain tip (navTo)
+    full = {c for pairs in by_domain.values() for _o, c in pairs}
+    assert "navTo" in full and "buildUrl" in full and "getParam" in full
+
+
 def test_embedding_near_dups_lsh_bucketed(spark):
     """pipeline/similarity.embedding_near_dups: the LSH-bucketed scale
     path finds the same pairs as a brute-force threshold scan on a small

@@ -229,6 +229,32 @@ def main():
               ["domain", "func_name", "n_source_pages", "n_sink_pages",
                "n_cross_flows"], rows)
 
+    # cpg_cross_page_flows_transitive: make_chain_pages(256) — the fixture
+    # is the per-page EXTENDED summary rows (def/call/wrap); the closure
+    # itself is computed by DuckDB's recursive CTE in oracle_sql(), an
+    # implementation independent of both the Spark BFS and this script.
+    from joern_spark.query.crosspage import summarize_page_ext
+    from joern_spark.sources.corpus import CHAIN_SNIPPETS, chain_page_for
+
+    chain_residues = {}
+    for r in range(len(CHAIN_SNIPPETS)):
+        url, _, html, _ = chain_page_for(r)
+        chain_residues[r] = [
+            (kind, name, callee, tainted)
+            for (_d, _u, kind, name, callee, tainted) in
+            summarize_page_ext(url, html.decode())
+        ]
+    rows = []
+    for i in range(256):
+        url, _, _, _ = chain_page_for(i)
+        domain = url.split("/")[2]
+        for kind, name, callee, tainted in chain_residues[i % len(CHAIN_SNIPPETS)]:
+            rows.append((domain, url, kind, name, callee or "",
+                         "true" if tainted else "false"))
+    write_csv("cpg_chain_summaries.csv",
+              ["domain", "url", "kind", "func_name", "callee_name",
+               "tainted"], rows)
+
 
 if __name__ == "__main__":
     main()
