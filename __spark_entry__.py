@@ -292,7 +292,9 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "media_type", "n_bytes",
                         "width", "height", "n_channels", "sample_rate",
                         "mean_r", "mean_g", "mean_b", "pixel_entropy",
-                        "wav_rms", "wav_zero_crossings")
+                        "wav_rms", "wav_zero_crossings",
+                        "mp4_mdat_bytes", "mp4_byte_mean",
+                        "mp4_byte_entropy")
 
 
 # ---------------------------------------------------------------------------
@@ -972,6 +974,36 @@ def oracle_sql() -> dict[str, str]:
                            lag(s) OVER (PARTITION BY media_id ORDER BY k) AS prev_s
                     FROM wsamp)
               GROUP BY media_id
+            ),
+            -- MP4 mdat payload = md5(str(id)) raw bytes x (1 + id%7);
+            -- byte mean (exact int sum / count) + byte entropy, rebuilt
+            -- from DuckDB's own md5 like the WAV samples
+            mp4 AS (
+              SELECT media_id, 16 * (1 + media_id % 7) AS n_pay,
+                     md5(CAST(media_id AS VARCHAR)) AS hex
+              FROM m WHERE media_id % 3 = 2
+            ),
+            mbyte AS (
+              SELECT mp4.media_id, j.j AS j,
+                     ('0x' || substr(mp4.hex, (j.j % 16)*2 + 1, 2))::INT AS b
+              FROM mp4, range(0, 112) j(j)
+              WHERE j.j < mp4.n_pay
+            ),
+            mmean AS (
+              SELECT media_id, CAST(sum(b) AS DOUBLE) / count(*) AS bm,
+                     count(*) AS n
+              FROM mbyte GROUP BY media_id
+            ),
+            mcnt AS (
+              SELECT media_id, b, count(*) AS cnt
+              FROM mbyte GROUP BY media_id, b
+            ),
+            ment AS (
+              SELECT mc.media_id,
+                     round(-sum((CAST(cnt AS DOUBLE) / n)
+                                * log2(CAST(cnt AS DOUBLE) / n)), 6) AS me
+              FROM mcnt mc JOIN mmean ON mc.media_id = mmean.media_id
+              GROUP BY mc.media_id, n
             )
             SELECT m.media_id,
                    CASE m.media_id % 3 WHEN 0 THEN 'image/png'
@@ -993,7 +1025,11 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 1 THEN 8000 * (1 + m.media_id % 5) END AS INT) AS sample_rate,
                    r.mv AS mean_r, g.mv AS mean_g, b.mv AS mean_b,
                    ent.e AS pixel_entropy,
-                   wrms.rms AS wav_rms, wzc.zc AS wav_zero_crossings
+                   wrms.rms AS wav_rms, wzc.zc AS wav_zero_crossings,
+                   CAST(CASE m.media_id % 3
+                          WHEN 2 THEN 16 * (1 + m.media_id % 7)
+                        END AS BIGINT) AS mp4_mdat_bytes,
+                   mmean.bm AS mp4_byte_mean, ment.me AS mp4_byte_entropy
             FROM m
             LEFT JOIN png ON m.media_id = png.media_id
             LEFT JOIN chan_mean r ON m.media_id = r.media_id AND r.chan = 0
@@ -1002,5 +1038,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ent ON m.media_id = ent.media_id
             LEFT JOIN wrms ON m.media_id = wrms.media_id
             LEFT JOIN wzc ON m.media_id = wzc.media_id
+            LEFT JOIN mmean ON m.media_id = mmean.media_id
+            LEFT JOIN ment ON m.media_id = ment.media_id
         """,
     }

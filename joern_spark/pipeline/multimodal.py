@@ -58,6 +58,11 @@ MEDIA_FEATURE_SCHEMA = StructType(
         # flips over the decoded PCM int16 stream
         StructField("wav_rms", DoubleType()),
         StructField("wav_zero_crossings", LongType()),
+        # payload-level features (MP4 only): box walk to mdat, then byte
+        # mean (exact int sum / count) + byte entropy over the payload
+        StructField("mp4_mdat_bytes", LongType()),
+        StructField("mp4_byte_mean", DoubleType()),
+        StructField("mp4_byte_entropy", DoubleType()),
     ]
 )
 
@@ -261,6 +266,39 @@ def wav_sample_stats(payload: bytes) -> "dict | None":
     return {"wav_rms": rms, "wav_zero_crossings": zc}
 
 
+def mp4_sample_stats(payload: bytes) -> "dict | None":
+    """Payload-level decode for ISO-BMFF/MP4: walk the top-level box
+    table (size+fourcc) to `mdat` and return {mp4_mdat_bytes,
+    mp4_byte_mean, mp4_byte_entropy} over the media payload bytes.
+    The mean is an exact integer sum / count (engine-identical double);
+    entropy is a float summation, rounded to 6dp.  Returns None for
+    non-MP4 input (no leading ftyp box) or a missing/empty mdat."""
+    import numpy as np
+
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+    pos = 0
+    mdat = None
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos:pos + 4])
+        btype = payload[pos + 4:pos + 8]
+        if btype == b"mdat":
+            mdat = payload[pos + 8:pos + size]
+            break
+        if size < 8:  # malformed box — stop rather than loop forever
+            return None
+        pos += size
+    if not mdat:
+        return None
+    arr = np.frombuffer(mdat, dtype=np.uint8).astype(np.int64)
+    mean = float(int(arr.sum()) / float(len(arr)))
+    counts = np.bincount(arr, minlength=256).astype(np.float64)
+    probs = counts[counts > 0] / float(len(arr))
+    entropy = round(float(-(probs * np.log2(probs)).sum()), 6)
+    return {"mp4_mdat_bytes": len(mdat), "mp4_byte_mean": mean,
+            "mp4_byte_entropy": entropy}
+
+
 def _payload_feature(payload: bytes, n_buckets: int = 8) -> list[float]:
     """8-bucket byte histogram over the payload, normalized — a real
     (if simple) content feature computed from the actual bytes."""
@@ -289,6 +327,7 @@ def extract_media_features(df: DataFrame, id_col: str = "media_id", blob_col: st
                 hdr = decode_media_header(payload)
                 pix = png_pixel_stats(payload) or {}
                 wav = wav_sample_stats(payload) or {}
+                mp4 = mp4_sample_stats(payload) or {}
                 rows.append(
                     (
                         int(mid),
@@ -306,6 +345,9 @@ def extract_media_features(df: DataFrame, id_col: str = "media_id", blob_col: st
                         pix.get("pixel_entropy"),
                         wav.get("wav_rms"),
                         wav.get("wav_zero_crossings"),
+                        mp4.get("mp4_mdat_bytes"),
+                        mp4.get("mp4_byte_mean"),
+                        mp4.get("mp4_byte_entropy"),
                     )
                 )
             out = pd.DataFrame(

@@ -203,6 +203,28 @@ def test_png_pixel_stats_bomb_guarded():
     assert png_pixel_stats(over) is None
 
 
+def test_mp4_sample_stats_known_values():
+    """mp4_sample_stats walks the box table to mdat and recomputes the
+    generator's closed form: payload = md5(str(id)) raw bytes x
+    (1 + id % 7)."""
+    import hashlib
+
+    from joern_spark.pipeline.multimodal import _mp4_blob, mp4_sample_stats
+
+    for mid in (2, 5, 8, 20, 62):
+        payload = hashlib.md5(str(mid).encode()).digest() * (1 + mid % 7)
+        st = mp4_sample_stats(_mp4_blob(mid, payload))
+        assert st["mp4_mdat_bytes"] == len(payload)
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+        assert st["mp4_byte_mean"] == float(int(arr.sum()) / float(len(arr)))
+        counts = np.bincount(arr, minlength=256).astype(float)
+        p = counts[counts > 0] / len(arr)
+        assert st["mp4_byte_entropy"] == round(float(-(p * np.log2(p)).sum()), 6)
+    # non-MP4 and mdat-less input
+    assert mp4_sample_stats(b"garbage") is None
+    assert mp4_sample_stats(struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4) is None
+
+
 def test_wav_sample_stats_known_values():
     """wav_sample_stats decodes the generator's PCM: payload is
     md5(str(id)) x reps as little-endian int16."""
