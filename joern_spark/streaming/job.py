@@ -109,7 +109,73 @@ def session_findings(pages: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def exactly_once_batch_writer(out_dir: str, n_key_buckets: int | None = None):
+def salted_domain_counts(pages: DataFrame, n_salt: int = 8,
+                         set_watermark: bool = True) -> DataFrame:
+    """Per-domain windowed page counts with EXPLICIT salting — the hot-
+    domain skew path (north_rule: "explicit salting ... handles skew from
+    hot domains").  A Common-Crawl-shaped corpus concentrates 25-30%+ of
+    pages on a handful of domains; a plain groupBy(window, domain) pins
+    every hot-domain row (and its state) to one shuffle partition.
+
+    Stage 1 (THIS query, the stream's single stateful operator — Spark
+    requires append mode for chained stateful aggs, and the exactly-once
+    sink needs update mode): group by (window, domain, salt) where salt =
+    pmod(xxhash64(url), n_salt), so the hot domain's rows and state rows
+    split across n_salt reducers.  Stage 2 (the read side,
+    `read_salted_domain_counts`) merges the n_salt partials per (window,
+    domain) after the latest-epoch-wins resolve — the same place the
+    MERGE/compaction already runs."""
+    domain = F.regexp_extract("url", r"https://([^/]+)/", 1).alias("domain")
+    salt = F.pmod(F.xxhash64("url"), F.lit(n_salt)).alias("salt")
+    p = pages.withWatermark("warc_ts", WATERMARK) if set_watermark else pages
+    return (
+        p.select("warc_ts", domain, salt)
+        .groupBy(F.window("warc_ts", WINDOW).alias("win"), "domain", "salt")
+        .agg(F.count(F.lit(1)).alias("partial_docs"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "domain", "salt", "partial_docs")
+    )
+
+
+def run_salted_domain_stream(spark: SparkSession, pages_dir: str,
+                             out_dir: str, checkpoint_dir: str,
+                             n_salt: int = 8, available_now: bool = False,
+                             files_per_trigger: int = 1):
+    """Start the salted per-domain rollup stream (update mode + the same
+    idempotent epoch sink as the findings job, upsert-keyed on the SALTED
+    key so hot domains never concentrate in one writer bucket either)."""
+    stream = pages_stream(spark, pages_dir, files_per_trigger=files_per_trigger)
+    partials = salted_domain_counts(stream, n_salt=n_salt)
+    writer = (
+        partials.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(exactly_once_batch_writer(
+            out_dir, key_cols=("window_start", "domain", "salt")))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_salted_domain_counts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Stage 2 of the salted rollup: latest-epoch-wins per (window,
+    domain, salt), then merge the salt partials.  n_salt rows per hot
+    (window, domain) — merge cost is O(n_salt), independent of the hot
+    domain's page count."""
+    from pyspark.sql import Window as W
+
+    df = spark.read.parquet(os.path.join(out_dir, "findings"))
+    w = W.partitionBy("window_start", "domain", "salt") \
+         .orderBy(F.desc("batch_id"))
+    latest = (df.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1))
+    return (latest.groupBy("window_start", "domain")
+            .agg(F.sum("partial_docs").alias("n_docs")))
+
+
+def exactly_once_batch_writer(out_dir: str, n_key_buckets: int | None = None,
+                              key_cols: tuple = ("window_start", "query_name")):
     """foreachBatch sink: deterministic epoch path + overwrite = idempotent
     under replay.  Every row carries its lineage (batch_id + the shuffle
     partition that produced it); a metrics table records per-partition row
@@ -137,15 +203,16 @@ def exactly_once_batch_writer(out_dir: str, n_key_buckets: int | None = None):
                 .withColumn("key_bucket",
                             # pmod, not abs(hash)%n: abs(Int.MinValue)
                             # overflows negative and % keeps the sign
-                            F.pmod(F.hash("window_start", "query_name"),
-                                   F.lit(n_buckets))))
+                            F.pmod(F.hash(*key_cols), F.lit(n_buckets))))
         rows.persist()
         (rows.repartition("key_bucket")
          .write.mode("overwrite").partitionBy("key_bucket")
          .parquet(os.path.join(out_dir, "findings", f"epoch={batch_id}")))
+        metric_aggs = [F.count(F.lit(1)).alias("n_rows")]
+        if "n_matches" in batch_df.columns:
+            metric_aggs.append(F.sum("n_matches").alias("n_matches"))
         metrics = (rows.groupBy("batch_id", "src_partition")
-                   .agg(F.count(F.lit(1)).alias("n_rows"),
-                        F.sum("n_matches").alias("n_matches")))
+                   .agg(*metric_aggs))
         (metrics.coalesce(1).write.mode("overwrite")
          .parquet(os.path.join(out_dir, "metrics", f"epoch={batch_id}")))
         rows.unpersist()

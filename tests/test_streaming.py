@@ -357,3 +357,67 @@ def test_multi_kill_chaos_resume(spark, corpus_dir):
             "multi-kill resume must reproduce identical per-window counts"
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_salted_domain_counts_skewed_stream(spark):
+    """Hot-domain skew path (north_rule salting): a corpus with ~30% of
+    pages on one domain, streamed through the SALTED per-domain rollup
+    (stage-1 salted stateful agg + read-side merge), must equal the plain
+    batch groupBy(window, domain) counts — including across kill+resume —
+    and the hot domain's state must split across salts."""
+    import os
+    import tempfile
+
+    from joern_spark.sources.corpus import PAGE_SCHEMA, page_for
+
+    base = tempfile.mkdtemp(prefix="salt_")
+    try:
+        import datetime
+        rows = []
+        for i in range(96):
+            url, ts, html, text = page_for(i)
+            if i % 10 < 3:  # ~30% reassigned to one hot netloc
+                url = f"https://hot-skew.example.com/page-{i}"
+            rows.append((i, url,
+                         datetime.datetime.fromtimestamp(
+                             ts, tz=datetime.timezone.utc),
+                         html, text, "en"))
+        pages_dir = f"{base}/pages"
+        for lo in range(0, 96, 24):  # 4 time-ordered chunks
+            spark.createDataFrame(rows[lo:lo + 24], PAGE_SCHEMA) \
+                .coalesce(1).write.mode("append").parquet(pages_dir)
+
+        # interrupted first run, then availableNow drain from checkpoint
+        q = job.run_salted_domain_stream(spark, pages_dir, f"{base}/out",
+                                         f"{base}/cp")
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        q = job.run_salted_domain_stream(spark, pages_dir, f"{base}/out",
+                                         f"{base}/cp", available_now=True)
+        q.awaitTermination(300)
+
+        got = {(str(r.window_start), r.domain): r.n_docs
+               for r in job.read_salted_domain_counts(spark, f"{base}/out")
+               .collect()}
+        batch = spark.read.parquet(pages_dir)
+        domain = F.regexp_extract("url", r"https://([^/]+)/", 1).alias("domain")
+        exp = {(str(r.window_start), r.domain): r.n_docs
+               for r in (batch.select(F.window("warc_ts", job.WINDOW)
+                                      .alias("win"), domain)
+                         .groupBy(F.col("win.start").alias("window_start"),
+                                  "domain")
+                         .agg(F.count(F.lit(1)).alias("n_docs"))).collect()}
+        assert got == exp
+        assert any(d == "hot-skew.example.com" for (_w, d) in got)
+        # the hot domain's partials really are salted (more than one salt)
+        findings = spark.read.parquet(os.path.join(f"{base}/out", "findings"))
+        n_salts = (findings.where(F.col("domain") == "hot-skew.example.com")
+                   .select("salt").distinct().count())
+        assert n_salts > 1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -45,7 +45,8 @@ from joern_spark.streaming import job
 from joern_spark.streaming.merge import compact_findings  # noqa: E402
 
 
-def write_chunk(spark, pages_dir: str, lo: int, hi: int, files: int = 1):
+def write_chunk(spark, pages_dir: str, lo: int, hi: int, files: int = 1,
+                hot_frac: float = 0.0):
     """Append pages [lo, hi) as `files` parquet files (micro-batch units).
 
     One file per chunk by default: the file stream source orders files by
@@ -56,12 +57,19 @@ def write_chunk(spark, pages_dir: str, lo: int, hi: int, files: int = 1):
     ARRIVAL order; the harness must deliver chunks time-ordered, the way
     a WARC ingest feed does."""
 
+    hot_mod = int(hot_frac * 100)
+
     def gen(batches):
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
-                url, ts, html, text = page_for(int(i))
-                rows.append((int(i), url, pd.Timestamp(ts, unit="s"), html,
+                i = int(i)
+                url, ts, html, text = page_for(i)
+                if hot_mod and i % 100 < hot_mod:
+                    # hot-domain injection: deterministic reassignment of a
+                    # fraction of pages to ONE netloc (urls stay unique)
+                    url = f"https://hot-skew.example.com/page-{i}"
+                rows.append((i, url, pd.Timestamp(ts, unit="s"), html,
                              text, "en"))
             yield pd.DataFrame(rows, columns=[f.name for f in PAGE_SCHEMA.fields])
 
@@ -80,11 +88,48 @@ def dir_size(path: str) -> int:
     return total
 
 
+def task_time_ratios(spark, min_tasks: int = 16, min_median_ms: float = 50.0):
+    """Per-stage p99/median executor-run-time ratios via the UI REST API —
+    the straggler-tail metric for the skew soak.  Stages with few tasks or
+    sub-50ms medians are scheduling noise, not skew, and are skipped."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app = spark.sparkContext.applicationId
+    url = (f"{ui}/api/v1/applications/{app}/stages"
+           f"?status=COMPLETE&withSummaries=true&quantiles=0.5,0.99")
+    stages = _json.load(urllib.request.urlopen(url))
+    ratios = []
+    for st in stages:
+        d = st.get("taskMetricsDistributions")
+        if not d or st.get("numCompleteTasks", 0) < min_tasks:
+            continue
+        med, p99 = d["executorRunTime"]
+        if med < min_median_ms:
+            continue
+        ratios.append(round(p99 / med, 2))
+    if not ratios:
+        return None
+    ratios.sort()
+    return {
+        "n_stages": len(ratios),
+        "p99_over_median_median": ratios[len(ratios) // 2],
+        "p99_over_median_worst": ratios[-1],
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=262144)
     ap.add_argument("--chunks", type=int, default=16)
     ap.add_argument("--kills", type=int, default=4)
+    ap.add_argument("--hot-frac", type=float, default=0.0,
+                    help="fraction of pages reassigned to one hot domain; "
+                         ">0 also runs the SALTED per-domain rollup stream "
+                         "and reports straggler-tail task metrics")
     ap.add_argument("--out", default="/tmp/soak")
     args = ap.parse_args()
 
@@ -93,7 +138,9 @@ def main():
     pages_dir, out_dir, cp_dir = (f"{base}/pages", f"{base}/out", f"{base}/cp")
     os.makedirs(pages_dir, exist_ok=True)
 
-    spark = get_spark(app_name="joern-spark-soak")
+    # the UI (off by default) feeds the REST task-metric distributions
+    spark = get_spark(app_name="joern-spark-soak",
+                      extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     par = spark.sparkContext.defaultParallelism
     # warm python workers untimed (sustained metric)
@@ -116,7 +163,7 @@ def main():
                     if phase == args.kills - 1 else chunks_per_phase)
         for _ in range(n_chunks):
             write_chunk(spark, pages_dir, written, written + per_chunk,
-                        files=files_per)
+                        files=files_per, hot_frac=args.hot_frac)
             written += per_chunk
 
         q = job.run_stream(spark, pages_dir, out_dir, cp_dir,
@@ -126,6 +173,13 @@ def main():
         dt = time.perf_counter() - t0
         stream_seconds += dt
         docs_streamed = written
+        if args.hot_frac > 0:
+            # the skew-SENSITIVE surface: domain-keyed rollup, salted —
+            # same phase/kill cadence, own checkpoint+sink
+            qs = job.run_salted_domain_stream(
+                spark, pages_dir, f"{base}/salted_out", f"{base}/salted_cp",
+                available_now=True, files_per_trigger=files_per)
+            qs.awaitTermination(1800)
         phases.append({
             "phase": phase,
             "docs_total": written,
@@ -153,6 +207,30 @@ def main():
            for r in job.read_results(spark, out_dir).collect()}
     golden_ok = got == expected
 
+    skew = {}
+    if args.hot_frac > 0:
+        from pyspark.sql import functions as F
+        batch_pages = spark.read.parquet(pages_dir)
+        domain = F.regexp_extract("url", r"https://([^/]+)/", 1).alias("domain")
+        exp_dom = {(str(r.window_start), r.domain): r.n_docs
+                   for r in (batch_pages
+                             .select(F.window("warc_ts", job.WINDOW).alias("win"),
+                                     domain)
+                             .groupBy(F.col("win.start").alias("window_start"),
+                                      "domain")
+                             .agg(F.count(F.lit(1)).alias("n_docs"))).collect()}
+        got_dom = {(str(r.window_start), r.domain): r.n_docs
+                   for r in job.read_salted_domain_counts(
+                       spark, f"{base}/salted_out").collect()}
+        hot_docs = sum(n for (_w, d), n in exp_dom.items()
+                       if d == "hot-skew.example.com")
+        skew = {
+            "hot_frac": args.hot_frac,
+            "hot_domain_docs": hot_docs,
+            "salted_golden_match": got_dom == exp_dom,
+            "task_time": task_time_ratios(spark),
+        }
+
     print(json.dumps({
         "metric": "streaming_soak_docs_per_sec",
         "value": round(docs_streamed / stream_seconds, 1),
@@ -163,8 +241,9 @@ def main():
         "golden_counts_match": golden_ok,
         "n_windows": len(expected),
         "phases": phases,
+        **({"skew": skew} if skew else {}),
     }))
-    if not golden_ok:
+    if not golden_ok or (skew and not skew["salted_golden_match"]):
         raise SystemExit(1)
 
 
