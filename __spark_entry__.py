@@ -251,6 +251,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate pairs (min-label
+    propagation via iterative joins) — pairs (a,b),(b,c) collapse into
+    one cluster.  Oracle: DuckDB computes the same components with a
+    recursive transitive-closure CTE over the same banding pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signature(docs))
+    return dedup.connected_dup_clusters(pairs)
+
+
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 8)
@@ -279,6 +289,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 8)
     return similarity.ann_topk_lsh(emb, queries_df, k=5)
+
+
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (inverted-file counterpart to the sign-LSH path):
+    deterministic 16-cell coarse quantizer, corpus assigned in one
+    zero-shuffle pass, queries probe their 4 nearest cells, exact cosine
+    on candidates only.  Full SQL oracle (the 6dp-rounded cell argmax is
+    engine-portable)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    return similarity.ann_topk_ivf(emb, queries_df, k=5)
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,6 +495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_near_dup_pairs": sim_near_dup_pairs,
         "sim_ann_lsh": sim_ann_lsh,
+        "sim_ann_ivf": sim_ann_ivf,
+        "dedup_clusters": dedup_clusters,
         "media_features": media_features,
         "cpg_node_stats": cpg_node_stats,
         "cpg_build_flows": cpg_build_flows,
@@ -897,6 +920,75 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, rank, nbr_id, cosine FROM ranked WHERE rank <= 5
+        """,
+        # IVF-flat oracle: the coarse quantizer is the first 16 corpus
+        # vectors; cell assignment = argmax of the 6dp-rounded cosine
+        # (ties by centroid id) — the rounding makes the argmax identical
+        # between numpy's cumsum fold and list_dot_product.  Queries probe
+        # their 4 nearest cells; exact cosine on candidates only.
+        "sim_ann_ivf": """
+            WITH cent AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cw
+              FROM embeddings WHERE vec_id < 16
+            ),
+            cosr AS (
+              SELECT e.vec_id, c.cid,
+                     round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cw)
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(c.cw, c.cw))), 6) AS cr
+              FROM embeddings e, cent c
+            ),
+            ranked_cells AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cr DESC, cid ASC) AS rn
+              FROM cosr
+            ),
+            cells AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
+            qcells AS (SELECT vec_id, cid AS cell FROM ranked_cells
+                       WHERE rn <= 4 AND vec_id < 8),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+              FROM qcells q JOIN cells c ON q.cell = c.cell
+              WHERE q.vec_id != c.vec_id
+            ),
+            scored AS (
+              SELECT cand.query_id, cand.nbr_id,
+                     round(
+                       list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])))),
+                       6) AS cosine
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ce ON ce.vec_id = cand.nbr_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                        PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, rank, nbr_id, cosine FROM ranked WHERE rank <= 5
+        """,
+        # Connected components over the SAME banding pipeline: DuckDB
+        # closes the pairs transitively with a recursive CTE (independent
+        # of the Spark side's min-label-propagation loop); cluster id =
+        # min doc_id of the component.
+        "dedup_clusters": _BANDS_CTE.replace(
+            "\nWITH sh AS", "\nWITH RECURSIVE sh AS") + """
+            , edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM cand
+              UNION
+              SELECT doc_b, doc_a FROM cand
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a
         """,
         # media_features oracle: the synthetic blobs carry REAL format
         # headers whose fields are pure arithmetic on media_id

@@ -42,6 +42,8 @@ DEFAULT_BENCH = [
     "sim_cosine_topk",
     "sim_near_dup_pairs",
     "sim_ann_lsh",
+    "sim_ann_ivf",
+    "dedup_clusters",
     "media_features",
     "customers_without_orders",
     "part_types_with_sales",

@@ -241,3 +241,75 @@ def simhash(df: DataFrame, text_col: str = "text", n_bits: int = 64) -> DataFram
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash_bits": out})
 
     return df.select("doc_id", text_col).mapInPandas(run, out_schema)
+
+
+def connected_dup_clusters(pairs: DataFrame,
+                           max_iterations: int = 32) -> DataFrame:
+    """Connected components over near-duplicate pairs via min-label
+    propagation — the step AFTER pair detection in a real dedup pipeline
+    (keep one representative per component, not per pair: pairs (a,b),
+    (b,c) must collapse to ONE cluster even though (a,c) never collided).
+
+    Iterative-join formulation (the standard large-scale CC): every doc
+    starts labeled with its own id; each round every doc takes the min of
+    its own label and its neighbors' labels; converged when no label
+    changes.  Rounds needed = component diameter — near-dup components
+    are dense (LSH cliques plus bridges), so 2-3 rounds in practice.
+    Per round: one join edges⋈labels + one (doc_id) aggregation — both
+    shuffle on doc-sized frames (never the corpus text), co-keyed on
+    doc_id.  At 10^12 docs the frames are |docs-in-any-pair|, orders of
+    magnitude below N, and the loop inherits Spark's partitioning of the
+    label frame across rounds.
+
+    Returns (doc_id, cluster_id) for every doc in at least one pair,
+    cluster_id = min doc_id of the component.
+    """
+    spark = pairs.sparkSession
+    # both edge directions in ONE pass over the pairs plan (a union of
+    # two selects would execute the upstream LSH self-join twice)
+    edges = (pairs.selectExpr(
+                "stack(2, doc_a, doc_b, doc_b, doc_a) AS (a, b)")
+             .distinct().persist())
+    n_edges = edges.count()
+    small = n_edges < 100_000
+    labels = (edges.select(F.col("a").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")).persist())
+    pinned = [edges, labels]
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        # small regime (same playbook as dataflow/reachable.py): the
+        # label/edge frames are chain-tip-sized, so broadcast the label
+        # side and skip AQE's per-stage re-planning round-trips; large
+        # graphs keep shuffle joins + AQE
+        spark.conf.set("spark.sql.adaptive.enabled",
+                       "false" if small else aqe_before)
+        for _ in range(max_iterations):
+            lbl = F.broadcast(labels) if small else labels
+            nbr_min = (edges.join(lbl, edges.b == labels.doc_id)
+                       .groupBy(F.col("a").alias("doc_id"))
+                       .agg(F.min("label").alias("nbr_label")))
+            if small:
+                nbr_min = F.broadcast(nbr_min)
+            # fold the convergence test into the update (a separate
+            # new-vs-old join would cost one more stage per round)
+            new_labels = (labels.join(nbr_min, "doc_id", "left")
+                          .select("doc_id",
+                                  F.least(F.col("label"),
+                                          F.coalesce("nbr_label", "label"))
+                                  .alias("label"),
+                                  (F.col("nbr_label") < F.col("label"))
+                                  .alias("chg"))
+                          .persist())
+            pinned.append(new_labels)
+            changed = new_labels.where(F.col("chg")).count()
+            labels = new_labels
+            if changed == 0:
+                break
+        out = (labels.select("doc_id", F.col("label").alias("cluster_id"))
+               .persist())
+        out.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    for df in pinned:
+        df.unpersist(blocking=False)
+    return out

@@ -212,6 +212,109 @@ def _multi_table_buckets(df: DataFrame, n_tables: int, n_planes: int,
     return df.select("vec_id", "embedding").mapInPandas(run, out_schema)
 
 
+def _ivf_cells(df: DataFrame, cent_ids, cent_mat, n_cells_out: int) -> DataFrame:
+    """(vec_id, embedding, cell): the `n_cells_out` nearest coarse-
+    quantizer cells per vector, ranked by 6dp-rounded cosine (ties broken
+    by ascending centroid id — the rounding makes the argmax
+    engine-portable; a raw float argmax could flip on summation-order
+    ulps between numpy and a SQL engine's fold).
+
+    One pass: cell assignment for the whole batch is a single
+    cumsum-reduction against the (K, dim) centroid matrix inside
+    mapInPandas — np.cumsum accumulates left-to-right in float64,
+    bit-identical to DuckDB's sequential list_dot_product fold, so the
+    rounded values (and therefore the cells) match the SQL oracle
+    exactly.  Zero shuffle; the centroid matrix rides the closure
+    (model-sized: K vectors)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    C = cent_mat.astype(np.float64)                       # (K, dim), id-sorted
+    ids = np.asarray(cent_ids, dtype=np.int64)
+    nc = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])         # (K,)
+
+    out_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("cell", LongType()),
+    ])
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dots = np.cumsum(A[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
+            na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+            cos = dots / (na[:, None] * nc[None, :])
+            cosr = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            # stable argsort on -cosr: ties keep ascending centroid order
+            # (ids are pre-sorted ascending)
+            order = np.argsort(-cosr, axis=1, kind="stable")[:, :n_cells_out]
+            reps = order.shape[1]
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), reps),
+                "embedding": pdf["embedding"].iloc[
+                    np.repeat(np.arange(len(pdf)), reps)].reset_index(drop=True),
+                "cell": ids[order].reshape(-1),
+            })
+
+    return df.select("vec_id", "embedding").mapInPandas(run, out_schema)
+
+
+def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF-flat ANN: a coarse quantizer partitions the corpus into K
+    cells; queries probe their n_probe nearest cells and score exactly
+    only inside them — the inverted-file counterpart to the sign-LSH
+    path (the two standard scale families for embedding search).
+
+    The quantizer here is the first K corpus vectors (deterministic
+    "training" stand-in — a Lloyd-trained codebook drops into the same
+    seam; what matters for the engine is the plan shape).  Scale shape:
+    ONE corpus scan assigns cells (zero shuffle, one batched
+    cumsum-reduction against K centroids); the query side (probed cells)
+    is broadcast, so the candidate join is map-side; exact cosine runs
+    on candidates only.  At 10^12 vectors, K grows ~sqrt(N) and `cell`
+    becomes the table's physical partition key, so a probe prunes
+    (K - n_probe)/K of the corpus at the SCAN."""
+    cent = (corpus.where(F.col("vec_id") < n_centroids)
+            .select("vec_id", F.col("embedding").cast("array<double>"))
+            .collect())  # model-sized: K vectors, the IVF codebook
+    cent.sort(key=lambda r: r.vec_id)
+    import numpy as np
+    cent_ids = [r.vec_id for r in cent]
+    cent_mat = np.array([r[1] for r in cent], dtype=np.float64)
+
+    c = _ivf_cells(corpus, cent_ids, cent_mat, 1).select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+        "cell",
+    )
+    q = _ivf_cells(queries, cent_ids, cent_mat, n_probe).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+        "cell",
+    )
+    cand = (c.join(F.broadcast(q), ["cell"])
+            .where(F.col("query_id") != F.col("nbr_id"))
+            .select("query_id", "nbr_id", "q_emb", "c_emb")
+            .dropDuplicates(["query_id", "nbr_id"]))
+    cos = cos_pandas_udf()  # Arrow kernel, value-identical to _cos
+    scored = cand.select("query_id", "nbr_id",
+                         cos(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cosine")
+    )
+
+
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  n_planes: int = 4, n_tables: int = 8,
                  multiprobe: int = 1) -> DataFrame:
