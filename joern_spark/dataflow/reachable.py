@@ -129,6 +129,7 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
         result.count()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-    for df in pinned:
-        df.unpersist(blocking=False)
+        # release caches on the error path too, not just on success
+        for df in pinned:
+            df.unpersist(blocking=False)
     return result

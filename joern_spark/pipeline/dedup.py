@@ -310,6 +310,7 @@ def connected_dup_clusters(pairs: DataFrame,
         out.count()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-    for df in pinned:
-        df.unpersist(blocking=False)
+        # release caches on the error path too, not just on success
+        for df in pinned:
+            df.unpersist(blocking=False)
     return out

@@ -285,6 +285,10 @@ def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cent = (corpus.where(F.col("vec_id") < n_centroids)
             .select("vec_id", F.col("embedding").cast("array<double>"))
             .collect())  # model-sized: K vectors, the IVF codebook
+    if not cent:
+        raise ValueError(
+            f"ann_topk_ivf: no centroid vectors (vec_id < {n_centroids}) "
+            "in the corpus — pass an explicit codebook range")
     cent.sort(key=lambda r: r.vec_id)
     import numpy as np
     cent_ids = [r.vec_id for r in cent]
