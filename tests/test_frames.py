@@ -136,6 +136,46 @@ def test_connected_dup_clusters_chain_merge(spark):
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 30: 30, 31: 30}
 
 
+def test_connected_dup_clusters_vs_union_find(spark):
+    """Randomized graphs (fixed seeds): the iterative-join CC must equal
+    a pure-Python union-find on the same pairs — components, membership
+    and min-id labels."""
+    import numpy as np
+
+    from joern_spark.pipeline.dedup import connected_dup_clusters
+
+    for seed in (0, 7, 23):
+        rng = np.random.RandomState(seed)
+        n_nodes, n_edges = 60, 45
+        a = rng.randint(0, n_nodes, n_edges)
+        b = rng.randint(0, n_nodes, n_edges)
+        pairs = [(int(x), int(y)) for x, y in zip(a, b) if x != y]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in pairs:
+            parent[find(x)] = find(y)
+        in_pairs = {x for p in pairs for x in p}
+        expected = {}
+        roots = {}
+        for x in sorted(in_pairs):
+            roots.setdefault(find(x), []).append(x)
+        for members in roots.values():
+            cid = min(members)
+            for m in members:
+                expected[m] = cid
+
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {r.doc_id: r.cluster_id
+               for r in connected_dup_clusters(df).collect()}
+        assert got == expected, f"seed {seed}"
+
+
 def test_frames_structure_steps(spark):
     """Corpus-layer counterparts of the new structure steps: members,
     hasModifier (semi-join), base/derived type-decl hierarchy hops."""
