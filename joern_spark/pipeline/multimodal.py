@@ -129,14 +129,21 @@ def decode_media_header(payload: bytes) -> dict:
     return out
 
 
+_PNG_BPP = {0: 1, 2: 3, 4: 2, 6: 4}  # 8-bit gray / RGB / gray+A / RGBA
+
+
 def png_pixel_stats(payload: bytes) -> "dict | None":
-    """REAL pixel decode for 8-bit RGB PNGs, stdlib-only: walk the chunk
-    table, concatenate IDAT, zlib-inflate, undo the per-scanline filters
-    (all five types — None/Sub/Up/Average/Paeth, PNG spec §9), and return
-    {mean_r, mean_g, mean_b, pixel_entropy} over the decoded pixels
-    (entropy in bits over the byte-value distribution, rounded to 6dp;
-    means are exact sum/count doubles).  Returns None for non-PNG input,
-    non-RGB8 color modes, or corrupt streams."""
+    """REAL pixel decode for 8-bit PNGs (grayscale, RGB, gray+alpha,
+    RGBA), stdlib-only: walk the chunk table, concatenate IDAT,
+    zlib-inflate, undo the per-scanline filters (all five types —
+    None/Sub/Up/Average/Paeth, PNG spec §9), and return
+    {mean_r, mean_g, mean_b, pixel_entropy} over the decoded COLOR
+    bytes (alpha bytes participate in unfiltering — the filter distance
+    is the full pixel width — but are excluded from the stats; for
+    grayscale the single channel reports as mean_r = mean_g = mean_b).
+    Entropy is bits over the color-byte-value distribution, rounded to
+    6dp; means are exact sum/count doubles.  Returns None for non-PNG
+    input, paletted/16-bit modes, or corrupt streams."""
     import numpy as np
 
     if not payload.startswith(_PNG_SIG):
@@ -151,8 +158,8 @@ def png_pixel_stats(payload: bytes) -> "dict | None":
         if ctype == b"IHDR" and length >= 13:
             width, height = struct.unpack(">II", data[:8])
             bit_depth, color_type = data[8], data[9]
-            if bit_depth != 8 or color_type != 2:  # only 8-bit truecolor RGB
-                return None
+            if bit_depth != 8 or color_type not in _PNG_BPP:
+                return None  # paletted / 16-bit modes stay out of scope
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -166,7 +173,8 @@ def png_pixel_stats(payload: bytes) -> "dict | None":
     # so a tiny crafted stream cannot expand past it.
     if width * height > 1 << 26:  # 64 Mpix ≈ 192 MB decoded
         return None
-    stride = width * 3
+    bpp = _PNG_BPP[color_type]
+    stride = width * bpp
     expected = height * (1 + stride)
     try:
         raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
@@ -175,7 +183,6 @@ def png_pixel_stats(payload: bytes) -> "dict | None":
     if len(raw) != expected:  # undersized stream or overrun past the cap
         return None
     out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = 3
     zeros_px = np.zeros(bpp, dtype=np.int64)
     for y in range(height):
         off = y * (1 + stride)
@@ -192,7 +199,7 @@ def png_pixel_stats(payload: bytes) -> "dict | None":
         elif ftype in (3, 4):
             # Average/Paeth carry a true left-pixel recurrence (the floor
             # divide / predictor choice is nonlinear, no closed cumsum) —
-            # loop over WIDTH, vectorized across the 3 channels per step.
+            # loop over WIDTH, vectorized across the channels per step.
             lp = line.reshape(width, bpp)
             pp = prev.reshape(width, bpp)
             recm = np.zeros((width, bpp), dtype=np.int64)
@@ -215,20 +222,27 @@ def png_pixel_stats(payload: bytes) -> "dict | None":
         else:
             return None
         out[y] = rec.astype(np.uint8)
-    pix = out.reshape(height, width, 3)
+    pix = out.reshape(height, width, bpp)
+    n_color = 1 if color_type in (0, 4) else 3
+    color = pix[:, :, :n_color]
     n = height * width
-    means = pix.reshape(-1, 3).sum(axis=0, dtype=np.int64) / float(n)
-    counts = np.bincount(pix.reshape(-1), minlength=256).astype(np.float64)
-    probs = counts[counts > 0] / float(n * 3)
+    sums = color.reshape(-1, n_color).sum(axis=0, dtype=np.int64)
+    means = sums / float(n)
+    counts = np.bincount(color.reshape(-1), minlength=256).astype(np.float64)
+    probs = counts[counts > 0] / float(n * n_color)
     entropy = float(-(probs * np.log2(probs)).sum())
     # means stay UNROUNDED: exact int64 sum / count division produces the
     # identical IEEE double in any engine (a 6dp round would instead expose
     # Python banker's-rounding vs SQL half-away ties); entropy is a
     # float-summation result, so 6dp absorbs order-of-summation noise
+    if n_color == 1:
+        mr = mg = mb = float(means[0])
+    else:
+        mr, mg, mb = (float(v) for v in means)
     return {
-        "mean_r": float(means[0]),
-        "mean_g": float(means[1]),
-        "mean_b": float(means[2]),
+        "mean_r": mr,
+        "mean_g": mg,
+        "mean_b": mb,
         "pixel_entropy": round(entropy, 6),
     }
 

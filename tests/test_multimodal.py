@@ -176,13 +176,69 @@ def test_png_unfilter_average_and_paeth():
 
 def test_png_pixel_stats_rejects_non_rgb8_and_garbage():
     assert png_pixel_stats(b"not a png") is None
-    # grayscale color type → None (decoder only models RGB8)
-    ihdr = struct.pack(">II", 4, 4) + bytes([8, 0, 0, 0, 0])
+    # paletted color type → None (palette indirection out of scope)
+    ihdr = struct.pack(">II", 4, 4) + bytes([8, 3, 0, 0, 0])
     blob = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
     assert png_pixel_stats(blob) is None
     # truncated IDAT → None, not an exception
     good = _png_blob(3)
     assert png_pixel_stats(good[:60]) is None
+
+
+def _png_raw(pixels, color_type, filters):
+    """Hand-encode an 8-bit PNG of arbitrary color type applying the
+    given per-row filter types (channel-generic inverse of the decoder)."""
+    h, w, bpp = pixels.shape
+    raw = bytearray()
+    flat = pixels.reshape(h, w * bpp).astype(int)
+    for y in range(h):
+        ftype = filters[y]
+        raw.append(ftype)
+        prev = flat[y - 1] if y > 0 else np.zeros(w * bpp, int)
+        for i in range(w * bpp):
+            x = int(flat[y][i])
+            left = int(flat[y][i - bpp]) if i >= bpp else 0
+            up = int(prev[i])
+            ul = int(prev[i - bpp]) if i >= bpp else 0
+            if ftype == 0:
+                enc = x
+            elif ftype == 1:
+                enc = x - left
+            elif ftype == 2:
+                enc = x - up
+            elif ftype == 3:
+                enc = x - ((left + up) >> 1)
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                enc = x - pred
+            raw.append(enc & 0xFF)
+    ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_pixel_stats_grayscale_and_rgba():
+    """Grayscale decodes with mean_r=g=b; RGBA unfilters at bpp=4 but
+    excludes alpha from the stats."""
+    rng = np.random.RandomState(13)
+    gray = rng.randint(0, 256, size=(5, 7, 1), dtype=np.uint8)
+    st = png_pixel_stats(_png_raw(gray, 0, [0, 1, 2, 3, 4]))
+    gm = float(gray.reshape(-1).astype(np.int64).sum() / float(5 * 7))
+    assert st["mean_r"] == st["mean_g"] == st["mean_b"] == gm
+
+    rgba = rng.randint(0, 256, size=(6, 5, 4), dtype=np.uint8)
+    st = png_pixel_stats(_png_raw(rgba, 6, [0, 1, 2, 3, 4, 3]))
+    rgb = rgba[:, :, :3].reshape(-1, 3).astype(np.int64)
+    n = 6 * 5
+    assert st["mean_r"] == float(rgb[:, 0].sum() / float(n))
+    assert st["mean_g"] == float(rgb[:, 1].sum() / float(n))
+    assert st["mean_b"] == float(rgb[:, 2].sum() / float(n))
+    counts = np.bincount(rgb.reshape(-1), minlength=256).astype(float)
+    p = counts[counts > 0] / (n * 3)
+    assert st["pixel_entropy"] == round(float(-(p * np.log2(p)).sum()), 6)
 
 
 def test_png_pixel_stats_bomb_guarded():
