@@ -40,8 +40,8 @@ from pyspark.sql import functions as F
 
 
 def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
-                    max_iterations: int = 64,
-                    broadcast_threshold: int = 100_000) -> DataFrame:
+                    max_iterations: int = 128,
+                    broadcast_threshold: int | None = None) -> DataFrame:
     """BFS backwards from sinks over REACHING_DEF edges.
 
     edges:   (url, src, dst, label, variable)
@@ -49,7 +49,8 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
     sinks:   (url, node_id)
     returns: (url, source_id, sink_id) pairs where source reaches sink.
 
-    `max_iterations` bounds the total HOP count.  Every round's frontier is
+    `max_iterations` bounds the total HOP count (default 128, matching
+    the pre-round-5 depth of 64 two-hop rounds).  Every round's frontier is
     persisted + counted: the frontier is the SMALL set (≤ active chain
     tips, never the corpus), so materializing it per round costs one tiny
     job and buys (a) a free emptiness check, (b) the cardinality that
@@ -60,6 +61,9 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
     of checkpointed relations — "key not found: url#N" — so materialized
     persist it is.)
     """
+    from joern_spark.sparkutil import BROADCAST_THRESHOLD
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_THRESHOLD
     spark = edges.sparkSession
     rd = (edges.where(F.col("label") == "REACHING_DEF")
           .select("url", "src", "dst"))
@@ -68,6 +72,11 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
     # even if the caller's sinks frame carries duplicate (url, node_id) rows
     frontier = sinks.select("url", F.col("node_id").alias("cur"),
                             F.col("node_id").alias("sink_id")).distinct().persist()
+    # COUNT the initial frontier: the sink set can itself be corpus-scale,
+    # and both the round's broadcast decision and the visited-size
+    # accounting must see its true cardinality (an unconditional "small"
+    # first round would broadcast a corpus-sized frame)
+    init_n = frontier.count()
     visited = frontier
     pinned = [frontier]  # every persisted frame; released before returning
 
@@ -80,13 +89,13 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
             .select(F.col("f.url").alias("url"), F.col("e.src").alias("cur"), "sink_id")
         )
 
-    frontier_n = None   # unknown before the first count
-    visited_n = 0
+    frontier_n = init_n
+    visited_n = init_n
     hops_done = 0
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try:
         while hops_done < max_iterations:
-            small = frontier_n is None or frontier_n < broadcast_threshold
+            small = frontier_n < broadcast_threshold
             spark.conf.set("spark.sql.adaptive.enabled",
                            "false" if small else aqe_before)
             k = min(4 if small else 2, max_iterations - hops_done)

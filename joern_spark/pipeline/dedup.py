@@ -244,7 +244,7 @@ def simhash(df: DataFrame, text_col: str = "text", n_bits: int = 64) -> DataFram
 
 
 def connected_dup_clusters(pairs: DataFrame,
-                           max_iterations: int = 32) -> DataFrame:
+                           max_iterations: int = 64) -> DataFrame:
     """Connected components over near-duplicate pairs via min-label
     propagation — the step AFTER pair detection in a real dedup pipeline
     (keep one representative per component, not per pair: pairs (a,b),
@@ -261,9 +261,16 @@ def connected_dup_clusters(pairs: DataFrame,
     magnitude below N, and the loop inherits Spark's partitioning of the
     label frame across rounds.
 
+    Raises RuntimeError if a component's propagation distance exceeds
+    `max_iterations` (silently returning half-merged labels would be a
+    WRONG dedup, not a slow one; components deeper than 64 hops mean the
+    pair source is pathological, not near-duplicate cliques).
+
     Returns (doc_id, cluster_id) for every doc in at least one pair,
     cluster_id = min doc_id of the component.
     """
+    from joern_spark.sparkutil import BROADCAST_THRESHOLD, adaptive_paused
+
     spark = pairs.sparkSession
     # both edge directions in ONE pass over the pairs plan (a union of
     # two selects would execute the upstream LSH self-join twice)
@@ -271,18 +278,17 @@ def connected_dup_clusters(pairs: DataFrame,
                 "stack(2, doc_a, doc_b, doc_b, doc_a) AS (a, b)")
              .distinct().persist())
     n_edges = edges.count()
-    small = n_edges < 100_000
+    small = n_edges < BROADCAST_THRESHOLD
     labels = (edges.select(F.col("a").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")).persist())
     pinned = [edges, labels]
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try:
-        # small regime (same playbook as dataflow/reachable.py): the
-        # label/edge frames are chain-tip-sized, so broadcast the label
-        # side and skip AQE's per-stage re-planning round-trips; large
-        # graphs keep shuffle joins + AQE
-        spark.conf.set("spark.sql.adaptive.enabled",
-                       "false" if small else aqe_before)
+    converged = False
+    # small regime (same playbook as dataflow/reachable.py, shared
+    # threshold + AQE pause in sparkutil): the label/edge frames are
+    # chain-tip-sized, so broadcast the label side and skip AQE's
+    # per-stage re-planning round-trips; large graphs keep shuffle
+    # joins + AQE
+    with adaptive_paused(spark, small):
         for _ in range(max_iterations):
             lbl = F.broadcast(labels) if small else labels
             nbr_min = (edges.join(lbl, edges.b == labels.doc_id)
@@ -304,13 +310,18 @@ def connected_dup_clusters(pairs: DataFrame,
             changed = new_labels.where(F.col("chg")).count()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
-        out = (labels.select("doc_id", F.col("label").alias("cluster_id"))
-               .persist())
-        out.count()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-        # release caches on the error path too, not just on success
-        for df in pinned:
-            df.unpersist(blocking=False)
+        try:
+            if not converged:
+                raise RuntimeError(
+                    f"connected_dup_clusters did not converge within "
+                    f"{max_iterations} rounds ({n_edges} edges)")
+            out = (labels.select("doc_id", F.col("label").alias("cluster_id"))
+                   .persist())
+            out.count()
+        finally:
+            # release caches on the error path too, not just on success
+            for df in pinned:
+                df.unpersist(blocking=False)
     return out

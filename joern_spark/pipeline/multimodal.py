@@ -293,14 +293,23 @@ def mp4_sample_stats(payload: bytes) -> "dict | None":
         return None
     pos = 0
     mdat = None
-    while pos + 8 <= len(payload):
+    n = len(payload)
+    while pos + 8 <= n:
         (size,) = struct.unpack(">I", payload[pos:pos + 4])
         btype = payload[pos + 4:pos + 8]
+        body_off = pos + 8
+        if size == 0:            # box extends to EOF (valid final mdat)
+            size = n - pos
+        elif size == 1:          # 64-bit largesize follows the fourcc
+            if pos + 16 > n:
+                return None
+            (size,) = struct.unpack(">Q", payload[pos + 8:pos + 16])
+            body_off = pos + 16
+        if size < body_off - pos or pos + size > n:
+            return None          # malformed / truncated box, not partial stats
         if btype == b"mdat":
-            mdat = payload[pos + 8:pos + size]
+            mdat = payload[body_off:pos + size]
             break
-        if size < 8:  # malformed box — stop rather than loop forever
-            return None
         pos += size
     if not mdat:
         return None

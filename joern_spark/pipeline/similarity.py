@@ -244,22 +244,43 @@ def _ivf_cells(df: DataFrame, cent_ids, cent_mat, n_cells_out: int) -> DataFrame
     def run(batches):
         import numpy as np
         import pandas as pd
+        dim = C.shape[1]
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            emb = pdf["embedding"]
+            # fast path: dense equal-length batch; a null or ragged row
+            # falls back to per-row filtering so one bad embedding drops
+            # out of the index instead of failing the whole Arrow batch
+            # (same contract as cos_pandas_udf)
+            try:
+                A = np.stack(emb.to_numpy()).astype(np.float64)
+                if A.ndim != 2 or A.shape[1] != dim:
+                    raise ValueError
+                valid = np.arange(len(pdf))
+            except (ValueError, TypeError):
+                valid = np.array(
+                    [i for i, v in enumerate(emb)
+                     if v is not None and len(v) == dim
+                     and not any(x is None for x in v)], dtype=np.int64)
+                if not len(valid):
+                    continue
+                A = np.array([list(emb.iloc[i]) for i in valid],
+                             dtype=np.float64)
             dots = np.cumsum(A[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
             na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
-            cos = dots / (na[:, None] * nc[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (na[:, None] * nc[None, :])
+            cos = np.where(np.isfinite(cos), cos, -np.inf)  # zero-norm rows
             cosr = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
             # stable argsort on -cosr: ties keep ascending centroid order
             # (ids are pre-sorted ascending)
             order = np.argsort(-cosr, axis=1, kind="stable")[:, :n_cells_out]
             reps = order.shape[1]
             yield pd.DataFrame({
-                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), reps),
-                "embedding": pdf["embedding"].iloc[
-                    np.repeat(np.arange(len(pdf)), reps)].reset_index(drop=True),
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy()[valid], reps),
+                "embedding": emb.iloc[
+                    np.repeat(valid, reps)].reset_index(drop=True),
                 "cell": ids[order].reshape(-1),
             })
 

@@ -86,7 +86,8 @@ def _unresolved_calls_by_name(cpg, q, defined: set[str], nodes=None):
     return by_name
 
 
-def summarize_page_ext(url: str, html: str) -> list[tuple]:
+def summarize_page_ext(url: str, html: str,
+                       with_wrap: bool = True) -> list[tuple]:
     """Per-page summary rows incl. wrap edges (pure function; also used
     by the fixture oracle generator).
 
@@ -117,6 +118,8 @@ def summarize_page_ext(url: str, html: str) -> list[tuple]:
         tainted = bool(sources and rets
                        and reachable_by_flows(cpg, rets, sources))
         rows.append((domain, url, "def", m.name, None, tainted))
+        if not with_wrap:
+            continue  # single-hop callers skip the per-wrapper dataflow
         # wrap edges: callee result -> this function's return
         for callee, calls in _unresolved_calls_by_name(
                 cpg, q, defined, nodes=body).items():
@@ -136,11 +139,14 @@ def summarize_page_ext(url: str, html: str) -> list[tuple]:
 
 
 def summarize_page(url: str, html: str) -> list[tuple]:
-    """Per-page def/call summary rows (wrap rows dropped — the shape the
-    single-hop cross_page_flows and its fixture oracle consume)."""
+    """Per-page def/call summary rows — the shape the single-hop
+    cross_page_flows and its fixture oracle consume.  Skips the wrap-edge
+    dataflow analysis entirely (with_wrap=False): the single-hop query
+    would only discard those rows, and each wrap edge costs a
+    reachable_by_flows run per (wrapper, callee) pair."""
     return [(d, u, kind, name, tainted)
             for (d, u, kind, name, _callee, tainted)
-            in summarize_page_ext(url, html) if kind != "wrap"]
+            in summarize_page_ext(url, html, with_wrap=False)]
 
 
 def page_flow_summaries(pages: DataFrame) -> DataFrame:

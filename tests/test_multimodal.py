@@ -308,3 +308,47 @@ def test_wav_sample_stats_rejects_non_pcm16():
         + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
     blob = b"RIFF" + struct.pack("<I", len(body)) + body
     assert wav_sample_stats(blob) is None
+
+
+def test_mp4_box_walk_edge_cases():
+    """Size-0 final box = extends-to-EOF (valid real-world mdat layout);
+    truncated/oversized boxes return None rather than partial stats."""
+    from joern_spark.pipeline.multimodal import mp4_sample_stats
+
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+    payload = bytes(range(32))
+    # mdat with size=0: body runs to EOF
+    blob = ftyp + struct.pack(">I", 0) + b"mdat" + payload
+    st = mp4_sample_stats(blob)
+    assert st is not None and st["mp4_mdat_bytes"] == len(payload)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    assert st["mp4_byte_mean"] == float(int(arr.sum()) / float(len(arr)))
+    # 64-bit largesize route
+    blob = (ftyp + struct.pack(">I", 1) + b"mdat"
+            + struct.pack(">Q", 16 + len(payload)) + payload)
+    st = mp4_sample_stats(blob)
+    assert st is not None and st["mp4_mdat_bytes"] == len(payload)
+    # declared size overruns the payload -> None, not partial stats
+    blob = ftyp + struct.pack(">I", 8 + 64) + b"mdat" + payload
+    assert mp4_sample_stats(blob) is None
+
+
+def test_ivf_cells_degrade_bad_embeddings(spark):
+    """A null / ragged / zero-norm embedding row drops out of the IVF
+    index instead of failing the Arrow batch."""
+    from joern_spark.pipeline.similarity import _ivf_cells
+    import numpy as np
+
+    C = np.eye(4, 8)[:4].astype(float)  # 4 centroids in 8 dims
+    rows = [
+        (0, [float(x) for x in np.eye(8)[0]]),
+        (1, None),
+        (2, [1.0, 2.0]),            # ragged
+        (3, [0.0] * 8),             # zero norm -> still assigned (ties by id)
+        (4, [float(x) for x in np.eye(8)[1]]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cell for r in _ivf_cells(df, [0, 1, 2, 3], C, 1).collect()}
+    assert 1 not in got and 2 not in got
+    assert got[0] == 0 and got[4] == 1
+    assert 3 in got  # zero-norm degraded to a deterministic cell, no crash
