@@ -252,10 +252,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the LSH candidate pairs (min-label
-    propagation via iterative joins) — pairs (a,b),(b,c) collapse into
-    one cluster.  Oracle: DuckDB computes the same components with a
-    recursive transitive-closure CTE over the same banding pipeline."""
+    """Connected components over the LSH candidate pairs (iterative-join
+    propagate + pointer-jump, O(log n) rounds) — pairs (a,b),(b,c)
+    collapse into one cluster.  Oracle: DuckDB computes the same
+    components with a recursive transitive-closure CTE over the same
+    banding pipeline.
+
+    The returned frame is persisted and CALLER-OWNED (one small cached
+    frame per call): a long-lived session issuing repeated calls should
+    `df.unpersist()` after consuming the result."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.lsh_candidate_pairs(dedup.minhash_signature(docs))
     return dedup.connected_dup_clusters(pairs)
@@ -293,10 +298,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (inverted-file counterpart to the sign-LSH path):
-    deterministic 16-cell coarse quantizer, corpus assigned in one
-    zero-shuffle pass, queries probe their 4 nearest cells, exact cosine
-    on candidates only.  Full SQL oracle (the 6dp-rounded cell argmax is
-    engine-portable)."""
+    16-cell coarse quantizer LLOYD-TRAINED for two k-means steps on an
+    exact-integer fixed-point grid (first-K deterministic init), corpus
+    assigned in one zero-shuffle pass, queries probe their 4 nearest
+    cells, exact cosine on candidates only.  Full SQL oracle — the
+    integer-mean centroids and the 6dp-rounded cell argmax are both
+    engine-portable, so DuckDB recomputes the SAME trained codebook."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 8)
     return similarity.ann_topk_ivf(emb, queries_df, k=5)
@@ -927,9 +934,77 @@ def oracle_sql() -> dict[str, str]:
         # between numpy's cumsum fold and list_dot_product.  Queries probe
         # their 4 nearest cells; exact cosine on candidates only.
         "sim_ann_ivf": """
-            WITH cent AS (
+            WITH cent0 AS (
               SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cw
               FROM embeddings WHERE vec_id < 16
+            ),
+            -- two Lloyd steps: assign to the codebook, then recompute
+            -- each cell's centroid as the exact-integer fixed-point mean
+            -- (sum of floor(x * 2^20) is order-free, so this reproduces
+            -- the Spark-trained codebook bit-for-bit), twice
+            cosr0 AS (
+              SELECT e.vec_id, c.cid,
+                     round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cw)
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(c.cw, c.cw))), 6) AS cr
+              FROM embeddings e, cent0 c
+            ),
+            cells0 AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cr DESC, cid ASC) AS rn
+                FROM cosr0) WHERE rn = 1
+            ),
+            comp0 AS (
+              SELECT c0.cell AS cid, t.i AS i,
+                     SUM(CAST(FLOOR(list_extract(
+                           CAST(e.embedding AS DOUBLE[]), t.i)
+                           * 1048576) AS BIGINT)) AS isum,
+                     COUNT(*) AS cnt
+              FROM cells0 c0
+              JOIN embeddings e ON e.vec_id = c0.vec_id,
+                   range(1, 65) t(i)
+              GROUP BY c0.cell, t.i
+            ),
+            cent1 AS (
+              SELECT cid,
+                     list(CAST(isum AS DOUBLE) / (cnt * 1048576.0)
+                          ORDER BY i) AS cw
+              FROM comp0 GROUP BY cid
+            ),
+            cosr1 AS (
+              SELECT e.vec_id, c.cid,
+                     round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cw)
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(c.cw, c.cw))), 6) AS cr
+              FROM embeddings e, cent1 c
+            ),
+            cells1 AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cr DESC, cid ASC) AS rn
+                FROM cosr1) WHERE rn = 1
+            ),
+            comp1 AS (
+              SELECT c1.cell AS cid, t.i AS i,
+                     SUM(CAST(FLOOR(list_extract(
+                           CAST(e.embedding AS DOUBLE[]), t.i)
+                           * 1048576) AS BIGINT)) AS isum,
+                     COUNT(*) AS cnt
+              FROM cells1 c1
+              JOIN embeddings e ON e.vec_id = c1.vec_id,
+                   range(1, 65) t(i)
+              GROUP BY c1.cell, t.i
+            ),
+            cent AS (
+              SELECT cid,
+                     list(CAST(isum AS DOUBLE) / (cnt * 1048576.0)
+                          ORDER BY i) AS cw
+              FROM comp1 GROUP BY cid
             ),
             cosr AS (
               SELECT e.vec_id, c.cid,

@@ -122,11 +122,16 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
+                # `value` composes each query's best sweep — an optimistic
+                # composite, not an achievable single run; the fastest
+                # MEASURED full sweep is min_rep_total below.
+                "value_kind": "sum_of_query_minima",
                 "unit": "sec",
                 "queries": timings,
                 "queries_spread": spread,
                 "reps": reps,
                 "rep_totals": rep_totals,
+                "min_rep_total": round(min(rep_totals), 3),
                 "cpg_docs_per_sec": docs_per_sec,
                 "sf": sf,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),

@@ -128,6 +128,12 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
             visited_n += n
             hops_done += k
 
+        # The AQE pause is scoped to the LOOP body only: the final
+        # visited⋈sources join runs with the caller's AQE setting —
+        # `visited` is the accumulated set and can be far larger than the
+        # last (small) frontier, so it must get AQE's runtime coalescing
+        # and skew handling even when the loop ended in the small regime.
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         src = sources.select(F.col("url").alias("s_url"), F.col("node_id").alias("source_id"))
         result = (visited.join(src, on=[visited.url == src.s_url, visited.cur == src.source_id])
                   .select("url", "source_id", "sink_id").distinct().persist())

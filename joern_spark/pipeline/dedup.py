@@ -244,31 +244,47 @@ def simhash(df: DataFrame, text_col: str = "text", n_bits: int = 64) -> DataFram
 
 
 def connected_dup_clusters(pairs: DataFrame,
-                           max_iterations: int = 64) -> DataFrame:
-    """Connected components over near-duplicate pairs via min-label
-    propagation — the step AFTER pair detection in a real dedup pipeline
-    (keep one representative per component, not per pair: pairs (a,b),
-    (b,c) must collapse to ONE cluster even though (a,c) never collided).
+                           max_iterations: int = 32,
+                           _stats: dict | None = None) -> DataFrame:
+    """Connected components over near-duplicate pairs — the step AFTER
+    pair detection in a real dedup pipeline (keep one representative per
+    component, not per pair: pairs (a,b), (b,c) must collapse to ONE
+    cluster even though (a,c) never collided).
 
-    Iterative-join formulation (the standard large-scale CC): every doc
-    starts labeled with its own id; each round every doc takes the min of
-    its own label and its neighbors' labels; converged when no label
-    changes.  Rounds needed = component diameter — near-dup components
-    are dense (LSH cliques plus bridges), so 2-3 rounds in practice.
-    Per round: one join edges⋈labels + one (doc_id) aggregation — both
-    shuffle on doc-sized frames (never the corpus text), co-keyed on
-    doc_id.  At 10^12 docs the frames are |docs-in-any-pair|, orders of
-    magnitude below N, and the loop inherits Spark's partitioning of the
-    label frame across rounds.
+    Algorithm: min-label propagation PLUS pointer jumping, one of each
+    per round (the two-step shape of the large-star/small-star and
+    hash-to-min families of MapReduce CC algorithms):
 
-    Raises RuntimeError if a component's propagation distance exceeds
-    `max_iterations` (silently returning half-merged labels would be a
-    WRONG dedup, not a slow one; components deeper than 64 hops mean the
-    pair source is pathological, not near-duplicate cliques).
+    1. propagate: every doc takes the min of its own label and its
+       graph-neighbors' labels (edges⋈labels + a (doc_id) min-agg);
+    2. jump:      every doc then takes its LABEL's label (labels⋈labels
+       on label = doc_id) — label values are always doc ids inside the
+       same component, so the self-join is total.
+
+    Propagation alone needs O(component diameter) rounds — linear for
+    the chain-shaped components that template families produce at
+    corpus scale.  The jump step squares the "who already knows the
+    min" relation each round, so the distance-to-min covered after r
+    rounds grows as ~2^r: convergence in O(log n) rounds on ANY
+    component shape (a 1000-doc chain converges in ~10 rounds, not
+    ~1000 — asserted by a fixture test).  Per round: two joins + one
+    aggregation, all on doc-sized frames (never the corpus text),
+    co-keyed on doc_id; at 10^12 docs the frames are
+    |docs-in-any-pair|, orders of magnitude below N.
+
+    Raises RuntimeError if the component min has not reached every node
+    within `max_iterations` rounds (silently returning half-merged
+    labels would be a WRONG dedup, not a slow one; with pointer jumping
+    32 rounds cover components of ~2^32 diameter — non-convergence
+    means the pair source is pathological).
 
     Returns (doc_id, cluster_id) for every doc in at least one pair,
-    cluster_id = min doc_id of the component.
+    cluster_id = min doc_id of the component.  The returned frame is
+    persisted and caller-owned.  `_stats`, when passed, receives
+    {"rounds": r, "edges": n} for observability/tests.
     """
+    import logging
+
     from joern_spark.sparkutil import BROADCAST_THRESHOLD, adaptive_paused
 
     spark = pairs.sparkSession
@@ -279,17 +295,37 @@ def connected_dup_clusters(pairs: DataFrame,
              .distinct().persist())
     n_edges = edges.count()
     small = n_edges < BROADCAST_THRESHOLD
+    pinned = [edges]
+    if small:
+        # a small CC problem should not schedule default-parallelism
+        # empty tasks per round: narrow the cached edge partitions once
+        # (coalesce reads the cache, no shuffle) so every per-round join
+        # over `edges` runs 8 tasks, not the cluster width
+        edges = edges.coalesce(8)
+    else:
+        # the edge frame is STATIC across rounds but is the largest side
+        # of every propagate join — pre-hash it on the join key once so
+        # each round's join reuses the cached partitioning (Exchange
+        # reuse) instead of re-shuffling all edges per round
+        e0 = edges
+        edges = edges.repartition(F.col("b")).persist()
+        edges.count()
+        e0.unpersist(blocking=False)
+        pinned = [edges]
     labels = (edges.select(F.col("a").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")).persist())
-    pinned = [edges, labels]
+    pinned.append(labels)
     converged = False
+    rounds = 0
     # small regime (same playbook as dataflow/reachable.py, shared
     # threshold + AQE pause in sparkutil): the label/edge frames are
     # chain-tip-sized, so broadcast the label side and skip AQE's
     # per-stage re-planning round-trips; large graphs keep shuffle
     # joins + AQE
-    with adaptive_paused(spark, small):
+    with adaptive_paused(spark, small, shuffle_partitions=8):
         for _ in range(max_iterations):
+            rounds += 1
+            # -- step 1: neighbor-min propagation ------------------------
             lbl = F.broadcast(labels) if small else labels
             nbr_min = (edges.join(lbl, edges.b == labels.doc_id)
                        .groupBy(F.col("a").alias("doc_id"))
@@ -298,20 +334,52 @@ def connected_dup_clusters(pairs: DataFrame,
                 nbr_min = F.broadcast(nbr_min)
             # fold the convergence test into the update (a separate
             # new-vs-old join would cost one more stage per round)
-            new_labels = (labels.join(nbr_min, "doc_id", "left")
+            prop = (labels.join(nbr_min, "doc_id", "left")
+                    .select("doc_id",
+                            F.least(F.col("label"),
+                                    F.coalesce("nbr_label", "label"))
+                            .alias("label"),
+                            (F.col("nbr_label") < F.col("label"))
+                            .alias("chg"))
+                    .persist())
+            pinned.append(prop)
+            # -- step 2: pointer jump (label := label-of-label) ----------
+            mapping = prop.select(F.col("doc_id").alias("m_id"),
+                                  F.col("label").alias("m_label"))
+            if small:
+                mapping = F.broadcast(mapping)
+            # localCheckpoint (NOT persist): the jump references `prop`
+            # on BOTH join sides, so without lineage truncation the
+            # logical plan DOUBLES per round — exponential tree growth
+            # that OOMs the driver's plan builder by ~round 10.  The
+            # eager checkpoint materializes the round (doubling as the
+            # free cardinality check) and restarts the plan from a leaf.
+            # (The Spark 4.1 localCheckpoint re-resolution bug hits
+            # EXCEPT/anti-join-over-union plans — reachable_pairs — not
+            # this loop's plain joins.)
+            new_labels = (prop.join(mapping,
+                                    prop.label == F.col("m_id"), "left")
                           .select("doc_id",
                                   F.least(F.col("label"),
-                                          F.coalesce("nbr_label", "label"))
+                                          F.coalesce("m_label", "label"))
                                   .alias("label"),
-                                  (F.col("nbr_label") < F.col("label"))
+                                  (F.col("chg")
+                                   | (F.col("m_label") < F.col("label")))
                                   .alias("chg"))
-                          .persist())
+                          .localCheckpoint(eager=True))
             pinned.append(new_labels)
             changed = new_labels.where(F.col("chg")).count()
+            prop.unpersist(blocking=False)
             labels = new_labels
             if changed == 0:
                 converged = True
                 break
+        logging.getLogger(__name__).info(
+            "connected_dup_clusters: %d edges, %d rounds, converged=%s",
+            n_edges, rounds, converged)
+        if _stats is not None:
+            _stats["rounds"] = rounds
+            _stats["edges"] = n_edges
         try:
             if not converged:
                 raise RuntimeError(

@@ -212,6 +212,56 @@ def _multi_table_buckets(df: DataFrame, n_tables: int, n_planes: int,
     return df.select("vec_id", "embedding").mapInPandas(run, out_schema)
 
 
+_ROW_BLK = 1024    # rows per chunk in the cell-assign kernel
+_CENT_BLK = 128    # centroids per chunk (bounds the broadcast temporary)
+IVF_QUANT = 1 << 20  # fixed-point grid for the exact-integer Lloyd mean
+
+
+def _chunked_fold_dots(A, C):
+    """Sequential-fold (cumsum) dot products A·Cᵀ → (rows, K) float64,
+    chunked over rows AND centroids: the unchunked broadcast temporary is
+    B×K×dim — a worker-memory cliff once K grows ~√N (16k centroids ×
+    10k-row Arrow batch × 64 dim × 8 B ≈ 80 GB).  Chunking bounds it at
+    _ROW_BLK×_CENT_BLK×dim (~64 MB) regardless of K.  The per-(row,
+    centroid) accumulation order is untouched — left-to-right in float64
+    — so values stay bit-identical to the unchunked form and to DuckDB's
+    sequential list_dot_product fold."""
+    import numpy as np
+
+    out = np.empty((A.shape[0], C.shape[0]), dtype=np.float64)
+    for r0 in range(0, A.shape[0], _ROW_BLK):
+        Ar = A[r0:r0 + _ROW_BLK]
+        for c0 in range(0, C.shape[0], _CENT_BLK):
+            Cb = C[c0:c0 + _CENT_BLK]
+            out[r0:r0 + _ROW_BLK, c0:c0 + _CENT_BLK] = np.cumsum(
+                Ar[:, None, :] * Cb[None, :, :], axis=2)[:, :, -1]
+    return out
+
+
+def _dense_valid(emb, dim: int):
+    """(A float64 matrix, valid row indices) for a pandas Series of
+    embeddings.  Fast path: dense equal-length batch; a null or ragged
+    row falls back to per-row filtering so one bad embedding drops out
+    of the index instead of failing the whole Arrow batch (same contract
+    as cos_pandas_udf)."""
+    import numpy as np
+
+    try:
+        A = np.stack(emb.to_numpy()).astype(np.float64)
+        if A.ndim != 2 or A.shape[1] != dim:
+            raise ValueError
+        return A, np.arange(len(emb))
+    except (ValueError, TypeError):
+        valid = np.array(
+            [i for i, v in enumerate(emb)
+             if v is not None and len(v) == dim
+             and not any(x is None for x in v)], dtype=np.int64)
+        if not len(valid):
+            return np.empty((0, dim)), valid
+        return np.array([list(emb.iloc[i]) for i in valid],
+                        dtype=np.float64), valid
+
+
 def _ivf_cells(df: DataFrame, cent_ids, cent_mat, n_cells_out: int) -> DataFrame:
     """(vec_id, embedding, cell): the `n_cells_out` nearest coarse-
     quantizer cells per vector, ranked by 6dp-rounded cosine (ties broken
@@ -249,25 +299,10 @@ def _ivf_cells(df: DataFrame, cent_ids, cent_mat, n_cells_out: int) -> DataFrame
             if not len(pdf):
                 continue
             emb = pdf["embedding"]
-            # fast path: dense equal-length batch; a null or ragged row
-            # falls back to per-row filtering so one bad embedding drops
-            # out of the index instead of failing the whole Arrow batch
-            # (same contract as cos_pandas_udf)
-            try:
-                A = np.stack(emb.to_numpy()).astype(np.float64)
-                if A.ndim != 2 or A.shape[1] != dim:
-                    raise ValueError
-                valid = np.arange(len(pdf))
-            except (ValueError, TypeError):
-                valid = np.array(
-                    [i for i, v in enumerate(emb)
-                     if v is not None and len(v) == dim
-                     and not any(x is None for x in v)], dtype=np.int64)
-                if not len(valid):
-                    continue
-                A = np.array([list(emb.iloc[i]) for i in valid],
-                             dtype=np.float64)
-            dots = np.cumsum(A[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
+            A, valid = _dense_valid(emb, dim)
+            if not len(valid):
+                continue
+            dots = _chunked_fold_dots(A, C)
             na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = dots / (na[:, None] * nc[None, :])
@@ -287,33 +322,148 @@ def _ivf_cells(df: DataFrame, cent_ids, cent_mat, n_cells_out: int) -> DataFrame
     return df.select("vec_id", "embedding").mapInPandas(run, out_schema)
 
 
-def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                 n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
-    """IVF-flat ANN: a coarse quantizer partitions the corpus into K
-    cells; queries probe their n_probe nearest cells and score exactly
-    only inside them — the inverted-file counterpart to the sign-LSH
-    path (the two standard scale families for embedding search).
+def _ivf_train_partials(df: DataFrame, cent_ids, cent_mat,
+                        quant: int = IVF_QUANT) -> DataFrame:
+    """One fused training scan: per Arrow batch, assign every vector to
+    its nearest centroid (6dp-rounded cosine, ties → lowest centroid id
+    — the same engine-portable rule as `_ivf_cells` rank 1) and emit
+    per-cell PARTIAL sums on a fixed-point integer grid:
 
-    The quantizer here is the first K corpus vectors (deterministic
-    "training" stand-in — a Lloyd-trained codebook drops into the same
-    seam; what matters for the engine is the plan shape).  Scale shape:
-    ONE corpus scan assigns cells (zero shuffle, one batched
-    cumsum-reduction against K centroids); the query side (probed cells)
-    is broadcast, so the candidate join is map-side; exact cosine runs
-    on candidates only.  At 10^12 vectors, K grows ~sqrt(N) and `cell`
-    becomes the table's physical partition key, so a probe prunes
-    (K - n_probe)/K of the corpus at the SCAN."""
+        (cell, cnt, isum[dim])  with  isum_i = Σ floor(x_i · quant)
+
+    Integer sums are exact and ORDER-FREE, so the combined mean is
+    bit-identical no matter how partitions combine — and a SQL engine
+    computing the same grouped integer sum reproduces the trained
+    centroids exactly (a float mean would differ in the last ulp with
+    summation order and could flip a cell argmax).  Zero shuffle: the
+    partials (≤ batches×K rows) are model-sized."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, LongType, StructField, StructType,
+    )
+
+    C = cent_mat.astype(np.float64)
+    nc = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+
+    out_schema = StructType([
+        StructField("cell", LongType()),
+        StructField("cnt", LongType()),
+        StructField("isum", ArrayType(LongType())),
+    ])
+    ids = np.asarray(cent_ids, dtype=np.int64)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        dim = C.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A, valid = _dense_valid(pdf["embedding"], dim)
+            if not len(valid):
+                continue
+            dots = _chunked_fold_dots(A, C)
+            na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (na[:, None] * nc[None, :])
+            good = np.isfinite(cos).any(axis=1)
+            if not good.any():
+                continue
+            cos = np.where(np.isfinite(cos), cos, -np.inf)
+            cosr = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            # argmax picks the FIRST max → lowest centroid index; ids are
+            # pre-sorted ascending, so this is the rn=1 tie rule
+            best = np.argmax(cosr[good], axis=1)
+            Q = np.floor(A[good] * quant).astype(np.int64)
+            cells, cnts, isums = [], [], []
+            for ci in np.unique(best):
+                m = best == ci
+                cells.append(int(ids[ci]))
+                cnts.append(int(m.sum()))
+                isums.append(Q[m].sum(axis=0).tolist())
+            yield pd.DataFrame({"cell": cells, "cnt": cnts, "isum": isums})
+
+    return df.select("embedding").mapInPandas(run, out_schema)
+
+
+def _collect_codebook_init(corpus: DataFrame, n_centroids: int):
+    """Deterministic init: the first K corpus vectors, id-sorted
+    (model-sized collect — K vectors IS the codebook)."""
+    import numpy as np
+
     cent = (corpus.where(F.col("vec_id") < n_centroids)
             .select("vec_id", F.col("embedding").cast("array<double>"))
-            .collect())  # model-sized: K vectors, the IVF codebook
+            .collect())
     if not cent:
         raise ValueError(
             f"ann_topk_ivf: no centroid vectors (vec_id < {n_centroids}) "
             "in the corpus — pass an explicit codebook range")
     cent.sort(key=lambda r: r.vec_id)
+    return ([r.vec_id for r in cent],
+            np.array([r[1] for r in cent], dtype=np.float64))
+
+
+def train_ivf_codebook(corpus: DataFrame, n_centroids: int = 16,
+                       n_iters: int = 1, quant: int = IVF_QUANT):
+    """Lloyd-trained IVF codebook: first-K deterministic init, then
+    `n_iters` distributed k-means steps — assign (one corpus scan, the
+    fused `_ivf_train_partials` kernel) + recompute centroids as the
+    QUANTIZED-INTEGER mean of each cell:
+
+        cw_i = (Σ floor(x_i · quant)) / (cnt · quant)
+
+    The integer numerator is exact and order-free, so the trained
+    centroids are bit-identical across partitionings AND across engines
+    (the DuckDB oracle recomputes the identical codebook in SQL); the
+    1/quant ≈ 1e-6 grid error is far below centroid noise.  Empty cells
+    drop out (queries simply cannot probe them — same semantics both
+    engines).  Driver-side combine touches only the model-sized partial
+    rows (≤ batches×K); at 10^12 rows/cell the int64 numerator needs
+    |x|·quant·N < 2^63 — a coarser grid or one tree-combine level
+    restores headroom, same seam."""
     import numpy as np
-    cent_ids = [r.vec_id for r in cent]
-    cent_mat = np.array([r[1] for r in cent], dtype=np.float64)
+
+    cent_ids, cent_mat = _collect_codebook_init(corpus, n_centroids)
+    for _ in range(n_iters):
+        sums: dict[int, "np.ndarray"] = {}
+        cnts: dict[int, int] = {}
+        for r in _ivf_train_partials(corpus, cent_ids, cent_mat,
+                                     quant).collect():
+            s = np.asarray(r.isum, dtype=np.int64)
+            if r.cell in sums:
+                sums[r.cell] += s
+                cnts[r.cell] += r.cnt
+            else:
+                sums[r.cell] = s
+                cnts[r.cell] = r.cnt
+        cent_ids = sorted(sums)
+        cent_mat = np.stack([
+            sums[c].astype(np.float64) / (cnts[c] * float(quant))
+            for c in cent_ids])
+    return cent_ids, cent_mat
+
+
+def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 n_centroids: int = 16, n_probe: int = 4,
+                 train_iters: int = 2) -> DataFrame:
+    """IVF-flat ANN: a coarse quantizer partitions the corpus into K
+    cells; queries probe their n_probe nearest cells and score exactly
+    only inside them — the inverted-file counterpart to the sign-LSH
+    path (the two standard scale families for embedding search).
+
+    The quantizer is Lloyd-trained (`train_ivf_codebook`: first-K
+    deterministic init + `train_iters` exact-integer k-means steps, so
+    the SQL oracle reproduces the codebook bit-for-bit; train_iters=0
+    recovers the untrained first-K stand-in).  Scale shape: ONE corpus
+    scan per training step and one to assign cells (zero shuffle, the
+    chunked cumsum-reduction against K centroids — worker memory bounded
+    at _ROW_BLK×_CENT_BLK×dim regardless of K); the query side (probed
+    cells) is broadcast, so the candidate join is map-side; exact cosine
+    runs on candidates only.  At 10^12 vectors, K grows ~sqrt(N) and
+    `cell` becomes the table's physical partition key, so a probe prunes
+    (K - n_probe)/K of the corpus at the SCAN."""
+    cent_ids, cent_mat = train_ivf_codebook(corpus, n_centroids,
+                                            n_iters=train_iters)
 
     c = _ivf_cells(corpus, cent_ids, cent_mat, 1).select(
         F.col("vec_id").alias("nbr_id"),

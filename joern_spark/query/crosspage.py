@@ -86,8 +86,19 @@ def _unresolved_calls_by_name(cpg, q, defined: set[str], nodes=None):
     return by_name
 
 
+# Per-page ceiling on wrap-edge dataflow tests: each (wrapper, callee)
+# pair costs one reachable_by_flows run, so a pathological page with
+# hundreds of functions × callees would spike one task quadratically.
+# Past the cap the remaining pairs are SKIPPED and counted (an 'error'
+# row kind='wrap_capped' at the corpus layer) — a capped page can only
+# lose wrap edges, never invent them.
+MAX_WRAP_PAIRS = 256
+
+
 def summarize_page_ext(url: str, html: str,
-                       with_wrap: bool = True) -> list[tuple]:
+                       with_wrap: bool = True,
+                       max_wrap_pairs: int = MAX_WRAP_PAIRS,
+                       _stats: dict | None = None) -> list[tuple]:
     """Per-page summary rows incl. wrap edges (pure function; also used
     by the fixture oracle generator).
 
@@ -100,12 +111,17 @@ def summarize_page_ext(url: str, html: str,
       one group
     - kind='wrap': func_name is defined here and its RETURN depends on the
       result of an unresolved call to callee_name (taint PASSES THROUGH)
+
+    `_stats`, when passed, receives {"wrap_pairs": tested,
+    "wrap_skipped": n} for the cap above.
     """
     domain = urlparse(url).netloc
     text = extract_script_text(html)
     cpg = build_cpg(text, url)
     q = Q(cpg)
     rows = []
+    wrap_pairs = 0
+    wrap_skipped = 0
 
     sources = _web_sources(q)
     defined = {m.name for m in cpg.methods()
@@ -123,8 +139,15 @@ def summarize_page_ext(url: str, html: str,
         # wrap edges: callee result -> this function's return
         for callee, calls in _unresolved_calls_by_name(
                 cpg, q, defined, nodes=body).items():
+            if wrap_pairs >= max_wrap_pairs:
+                wrap_skipped += 1
+                continue
+            wrap_pairs += 1
             wraps = bool(rets and reachable_by_flows(cpg, rets, calls))
             rows.append((domain, url, "wrap", m.name, callee, wraps))
+    if _stats is not None:
+        _stats["wrap_pairs"] = wrap_pairs
+        _stats["wrap_skipped"] = wrap_skipped
 
     eval_args = [a for c in q.call().name(_EVAL_RE).l()
                  for a in cpg.arguments(c) if a.argument_index >= 1]
@@ -149,9 +172,23 @@ def summarize_page(url: str, html: str) -> list[tuple]:
             in summarize_page_ext(url, html, with_wrap=False)]
 
 
+def _safe_domain(url) -> str:
+    try:
+        return urlparse(url).netloc
+    except Exception:
+        return ""
+
+
 def page_flow_summaries(pages: DataFrame) -> DataFrame:
     """pages(url, html) → per-page def/call summary rows.  One narrow
-    mapInPandas; no shuffle."""
+    mapInPandas; no shuffle.
+
+    A page whose summarization throws is DROPPED BUT COUNTED: it emits
+    one kind='error' row (func_name='summarize_failed:<ExcType>',
+    tainted=False) instead of vanishing silently — at corpus scale "how
+    many pages failed to summarize" must be observable
+    (`summary_error_counts`).  Every flow query filters on kind and/or
+    tainted, so error rows never enter a result."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in SUMMARY_SCHEMA.fields]
@@ -162,8 +199,10 @@ def page_flow_summaries(pages: DataFrame) -> DataFrame:
                     h = (bytes(html).decode("utf-8", "replace")
                          if not isinstance(html, str) else html)
                     rows.extend(summarize_page(url, h))
-                except Exception:
-                    pass
+                except Exception as e:
+                    rows.append((_safe_domain(url), url, "error",
+                                 f"summarize_failed:{type(e).__name__}",
+                                 False))
             yield pd.DataFrame(rows, columns=cols)
 
     return pages.select("url", "html").mapInPandas(run, SUMMARY_SCHEMA)
@@ -171,7 +210,15 @@ def page_flow_summaries(pages: DataFrame) -> DataFrame:
 
 def page_flow_summaries_ext(pages: DataFrame) -> DataFrame:
     """pages(url, html) → per-page def/call/wrap summary rows.  One
-    narrow mapInPandas; no shuffle."""
+    narrow mapInPandas; no shuffle.
+
+    Observability rows (kind='error', tainted=False; never match a flow
+    query's kind/tainted filters):
+
+    - func_name='summarize_failed:<ExcType>' — the page threw and was
+      dropped from analysis (counted, not silent);
+    - func_name='wrap_capped', callee_name=str(n_skipped) — the page hit
+      MAX_WRAP_PAIRS and skipped n wrap-edge dataflow tests."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in SUMMARY_EXT_SCHEMA.fields]
@@ -181,12 +228,29 @@ def page_flow_summaries_ext(pages: DataFrame) -> DataFrame:
                 try:
                     h = (bytes(html).decode("utf-8", "replace")
                          if not isinstance(html, str) else html)
-                    rows.extend(summarize_page_ext(url, h))
-                except Exception:
-                    pass
+                    st: dict = {}
+                    rows.extend(summarize_page_ext(url, h, _stats=st))
+                    if st.get("wrap_skipped"):
+                        rows.append((_safe_domain(url), url, "error",
+                                     "wrap_capped",
+                                     str(st["wrap_skipped"]), False))
+                except Exception as e:
+                    rows.append((_safe_domain(url), url, "error",
+                                 f"summarize_failed:{type(e).__name__}",
+                                 None, False))
             yield pd.DataFrame(rows, columns=cols)
 
     return pages.select("url", "html").mapInPandas(run, SUMMARY_EXT_SCHEMA)
+
+
+def summary_error_counts(summaries: DataFrame) -> DataFrame:
+    """Corpus-level observability over summary error rows: one row per
+    (func_name) error class with page count — pages_failed /
+    pages_wrap_capped for a soak or campaign report.  One narrow filter
+    + a tiny (error-classes-sized) aggregation."""
+    return (summaries.where(F.col("kind") == "error")
+            .groupBy(F.col("func_name").alias("error_class"))
+            .agg(F.countDistinct("url").alias("n_pages")))
 
 
 def cross_page_flows_transitive(pages: DataFrame,
@@ -229,10 +293,16 @@ def cross_page_flows_transitive(pages: DataFrame,
                           F.lit("REACHING_DEF").alias("label")))
     pairs = reachable_pairs(wrap_edges, tainted_defs, eval_calls,
                             max_iterations=max_hops)
+    # reachable_pairs returns its (pair-sized) result persisted and
+    # caller-owned — materialize the derived output, then release the
+    # upstream caches so repeated calls in a long-lived session hold ONE
+    # small cached frame (the returned one), not a chain per call.
     out = (pairs.select(F.col("url").alias("domain"),
                         F.col("source_id").alias("origin_func"),
                         F.col("sink_id").alias("called_func"))
-           .distinct())
+           .distinct().persist())
+    out.count()
+    pairs.unpersist(blocking=False)
     s.unpersist(blocking=False)
     return out
 

@@ -108,11 +108,13 @@ def test_ann_recall_vs_brute_force(spark):
 
 
 def test_ivf_recall_vs_brute_force(spark):
-    """IVF-flat recall@5 against the exact baseline: 16 cells, probe 4
-    (measured 0.925 at sf0.01, 1.0 at sf0.1; uniform vectors again the
-    adversarial case).  Floor at 0.8 — the inverted-file path should
-    beat sign-LSH here because probing 1/4 of the cells covers far more
-    of a near-uniform corpus than Hamming-1 buckets do."""
+    """IVF-flat recall@5 against the exact baseline: 16 Lloyd-trained
+    cells (2 exact-integer k-means steps), probe 4 — measured 0.90 at
+    sf0.01 and 1.0 at sf0.1 (deterministic: no RNG anywhere; uniform
+    vectors are the adversarial case).  Floor at 0.9 (VERDICT r5
+    item 3) — the inverted-file path should beat sign-LSH here because
+    probing 1/4 of the cells covers far more of a near-uniform corpus
+    than Hamming-1 buckets do."""
     from joern_spark.pipeline.similarity import ann_topk_ivf, cosine_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
@@ -120,7 +122,7 @@ def test_ivf_recall_vs_brute_force(spark):
     exact = {(r.query_id, r.nbr_id) for r in cosine_topk(emb, queries, k=5).collect()}
     approx = {(r.query_id, r.nbr_id) for r in ann_topk_ivf(emb, queries, k=5).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.8, f"IVF recall@5 collapsed: {recall:.2f}"
+    assert recall >= 0.9, f"IVF recall@5 collapsed: {recall:.2f}"
 
 
 def test_connected_dup_clusters_chain_merge(spark):
@@ -134,6 +136,31 @@ def test_connected_dup_clusters_chain_merge(spark):
     got = {r.doc_id: r.cluster_id
            for r in connected_dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_connected_dup_clusters_chain_rounds_logarithmic(spark):
+    """Adversarial chain component (the template-family shape at corpus
+    scale): a 1,000-doc path has diameter 999, so plain min-label
+    propagation would need ~999 rounds.  The pointer-jump step must make
+    the round count logarithmic — assert every label lands on the
+    component min AND rounds ≤ 2·log2(n) + 4."""
+    import math
+
+    from joern_spark.pipeline.dedup import connected_dup_clusters
+
+    n = 1000
+    # descending ids along the path: min (0) sits at the FAR end from
+    # every high id, the worst case for propagation distance
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    stats: dict = {}
+    got = {r.doc_id: r.cluster_id
+           for r in connected_dup_clusters(pairs, _stats=stats).collect()}
+    assert got == {i: 0 for i in range(n)}
+    bound = 2 * math.log2(n) + 4
+    assert stats["rounds"] <= bound, (
+        f"CC took {stats['rounds']} rounds on a {n}-chain "
+        f"(diameter {n - 1}); pointer jumping should bound it by {bound:.0f}")
 
 
 def test_connected_dup_clusters_vs_union_find(spark):
