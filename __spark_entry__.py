@@ -314,15 +314,17 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PNG IHDR / WAV RIFF / MP4 tkhd) → mapInPandas byte-level header
     decode.  The oracle recomputes every field from media_id arithmetic
     (the generator's parameters), so this checks the decoder round-trips
-    the actual bytes."""
-    media = multimodal.synthetic_media(spark, 64)
+    the actual bytes.  16 edge blobs (ids 64-79: paletted PNG, 8-bit
+    WAV, mdat-less MP4, unknown bytes) make the decode_status column
+    non-vacuous — its per-reason statuses are part of the oracle."""
+    media = multimodal.synthetic_media(spark, 64, n_edge=16)
     feats = multimodal.extract_media_features(media)
     return feats.select("media_id", "media_type", "n_bytes",
                         "width", "height", "n_channels", "sample_rate",
                         "mean_r", "mean_g", "mean_b", "pixel_entropy",
                         "wav_rms", "wav_zero_crossings",
                         "mp4_mdat_bytes", "mp4_byte_mean",
-                        "mp4_byte_entropy")
+                        "mp4_byte_entropy", "decode_status")
 
 
 # ---------------------------------------------------------------------------
@@ -1196,7 +1198,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE m.media_id % 3
                           WHEN 2 THEN 16 * (1 + m.media_id % 7)
                         END AS BIGINT) AS mp4_mdat_bytes,
-                   mmean.bm AS mp4_byte_mean, ment.me AS mp4_byte_entropy
+                   mmean.bm AS mp4_byte_mean, ment.me AS mp4_byte_entropy,
+                   'ok' AS decode_status
             FROM m
             LEFT JOIN png ON m.media_id = png.media_id
             LEFT JOIN chan_mean r ON m.media_id = r.media_id AND r.chan = 0
@@ -1207,5 +1210,43 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN wzc ON m.media_id = wzc.media_id
             LEFT JOIN mmean ON m.media_id = mmean.media_id
             LEFT JOIN ment ON m.media_id = ment.media_id
+            UNION ALL
+            -- edge blobs (ids 64-79): header fields still parse where the
+            -- format carries them; payload stats are NULL and the status
+            -- says why (generator classes cycle on media_id % 4)
+            SELECT e.media_id,
+                   CASE e.media_id % 4 WHEN 0 THEN 'image/png'
+                                       WHEN 1 THEN 'audio/wav'
+                                       WHEN 2 THEN 'video/mp4'
+                                       ELSE 'application/octet-stream'
+                   END AS media_type,
+                   CAST(CASE e.media_id % 4
+                          WHEN 0 THEN 33
+                          WHEN 1 THEN 44 + 16*(1 + e.media_id % 7)
+                          WHEN 2 THEN 124 ELSE 22 END AS BIGINT) AS n_bytes,
+                   CAST(CASE e.media_id % 4
+                          WHEN 0 THEN 16 + (e.media_id % 32) * 4
+                          WHEN 2 THEN 320 + (e.media_id % 8) * 16
+                        END AS INT) AS width,
+                   CAST(CASE e.media_id % 4
+                          WHEN 0 THEN 16 + ((e.media_id * 7) % 32) * 4
+                          WHEN 2 THEN 240 + ((e.media_id * 3) % 8) * 16
+                        END AS INT) AS height,
+                   CAST(CASE e.media_id % 4
+                          WHEN 1 THEN 1 + e.media_id % 2 END AS INT) AS n_channels,
+                   CAST(CASE e.media_id % 4
+                          WHEN 1 THEN 8000 * (1 + e.media_id % 5)
+                        END AS INT) AS sample_rate,
+                   NULL AS mean_r, NULL AS mean_g, NULL AS mean_b,
+                   NULL AS pixel_entropy,
+                   NULL AS wav_rms, CAST(NULL AS BIGINT) AS wav_zero_crossings,
+                   CAST(NULL AS BIGINT) AS mp4_mdat_bytes,
+                   NULL AS mp4_byte_mean, NULL AS mp4_byte_entropy,
+                   CASE e.media_id % 4 WHEN 0 THEN 'png_unsupported_mode'
+                                       WHEN 1 THEN 'wav_unsupported_bits'
+                                       WHEN 2 THEN 'mp4_no_mdat'
+                                       ELSE 'unknown_format'
+                   END AS decode_status
+            FROM (SELECT range AS media_id FROM range(64, 80)) e
         """,
     }

@@ -63,6 +63,13 @@ MEDIA_FEATURE_SCHEMA = StructType(
         StructField("mp4_mdat_bytes", LongType()),
         StructField("mp4_byte_mean", DoubleType()),
         StructField("mp4_byte_entropy", DoubleType()),
+        # WHY each payload-level decode produced stats or didn't — at a
+        # real 100 TB corpus "how much of the media actually decoded"
+        # must be a queryable column, not a silent None ('ok',
+        # 'png_unsupported_mode', 'png_too_large', 'png_corrupt',
+        # 'wav_unsupported_bits', 'wav_no_data', 'wav_corrupt',
+        # 'mp4_no_mdat', 'mp4_malformed', 'unknown_format')
+        StructField("decode_status", StringType()),
     ]
 )
 
@@ -143,11 +150,18 @@ def png_pixel_stats(payload: bytes) -> "dict | None":
     grayscale the single channel reports as mean_r = mean_g = mean_b).
     Entropy is bits over the color-byte-value distribution, rounded to
     6dp; means are exact sum/count doubles.  Returns None for non-PNG
-    input, paletted/16-bit modes, or corrupt streams."""
+    input, paletted/16-bit modes, or corrupt streams (use
+    `_png_pixel_stats_ex` for the per-reason decode_status)."""
+    return _png_pixel_stats_ex(payload)[0]
+
+
+def _png_pixel_stats_ex(payload: bytes) -> "tuple[dict | None, str]":
+    """(stats, decode_status) core of `png_pixel_stats` — the status says
+    WHY a blob produced no stats, so coverage is queryable at scale."""
     import numpy as np
 
     if not payload.startswith(_PNG_SIG):
-        return None
+        return None, "not_png"
     pos = 8
     width = height = None
     idat = bytearray()
@@ -159,29 +173,30 @@ def png_pixel_stats(payload: bytes) -> "dict | None":
             width, height = struct.unpack(">II", data[:8])
             bit_depth, color_type = data[8], data[9]
             if bit_depth != 8 or color_type not in _PNG_BPP:
-                return None  # paletted / 16-bit modes stay out of scope
+                # paletted / 16-bit modes stay out of scope
+                return None, "png_unsupported_mode"
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
         pos += 12 + length  # length + type + data + crc
     if not width or not height or not idat:
-        return None
+        return None, "png_corrupt"
     # Decompression-bomb guard: IHDR dimensions are attacker-controlled;
     # cap the pixel count BEFORE allocating, and bound the inflate to the
     # exact expected output (height scanlines of 1 filter byte + RGB row)
     # so a tiny crafted stream cannot expand past it.
     if width * height > 1 << 26:  # 64 Mpix ≈ 192 MB decoded
-        return None
+        return None, "png_too_large"
     bpp = _PNG_BPP[color_type]
     stride = width * bpp
     expected = height * (1 + stride)
     try:
         raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
     except zlib.error:
-        return None
+        return None, "png_corrupt"
     if len(raw) != expected:  # undersized stream or overrun past the cap
-        return None
+        return None, "png_corrupt"
     out = np.zeros((height, stride), dtype=np.uint8)
     zeros_px = np.zeros(bpp, dtype=np.int64)
     for y in range(height):
@@ -220,7 +235,7 @@ def png_pixel_stats(payload: bytes) -> "dict | None":
                 recm[x] = left
             rec = recm.reshape(-1)
         else:
-            return None
+            return None, "png_corrupt"
         out[y] = rec.astype(np.uint8)
     pix = out.reshape(height, width, bpp)
     n_color = 1 if color_type in (0, 4) else 3
@@ -244,7 +259,7 @@ def png_pixel_stats(payload: bytes) -> "dict | None":
         "mean_g": mg,
         "mean_b": mb,
         "pixel_entropy": round(entropy, 6),
-    }
+    }, "ok"
 
 
 def wav_sample_stats(payload: bytes) -> "dict | None":
@@ -253,11 +268,17 @@ def wav_sample_stats(payload: bytes) -> "dict | None":
     wav_zero_crossings}.  RMS = sqrt(mean(s^2)) with an exact integer
     sum-of-squares (engine-identical double); zero crossings = count of
     strict sign flips ((s[i] < 0) != (s[i+1] < 0)).  Returns None for
-    non-WAV input, non-16-bit formats, or a missing/odd data chunk."""
+    non-WAV input, non-16-bit formats, or a missing/odd data chunk (use
+    `_wav_sample_stats_ex` for the per-reason decode_status)."""
+    return _wav_sample_stats_ex(payload)[0]
+
+
+def _wav_sample_stats_ex(payload: bytes) -> "tuple[dict | None, str]":
+    """(stats, decode_status) core of `wav_sample_stats`."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        return None
+        return None, "not_wav"
     pos = 12
     bits = None
     data = None
@@ -270,14 +291,18 @@ def wav_sample_stats(payload: bytes) -> "dict | None":
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
-    if bits != 16 or data is None or len(data) < 2:
-        return None
+    if bits is None:
+        return None, "wav_corrupt"       # no fmt chunk at all
+    if bits != 16:
+        return None, "wav_unsupported_bits"
+    if data is None or len(data) < 2:
+        return None, "wav_no_data"
     s = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2") \
         .astype(np.int64)
     rms = float(np.sqrt(np.cumsum(s * s)[-1] / float(len(s))))
     neg = s < 0
     zc = int(np.count_nonzero(neg[:-1] != neg[1:]))
-    return {"wav_rms": rms, "wav_zero_crossings": zc}
+    return {"wav_rms": rms, "wav_zero_crossings": zc}, "ok"
 
 
 def mp4_sample_stats(payload: bytes) -> "dict | None":
@@ -286,11 +311,17 @@ def mp4_sample_stats(payload: bytes) -> "dict | None":
     mp4_byte_mean, mp4_byte_entropy} over the media payload bytes.
     The mean is an exact integer sum / count (engine-identical double);
     entropy is a float summation, rounded to 6dp.  Returns None for
-    non-MP4 input (no leading ftyp box) or a missing/empty mdat."""
+    non-MP4 input (no leading ftyp box) or a missing/empty mdat (use
+    `_mp4_sample_stats_ex` for the per-reason decode_status)."""
+    return _mp4_sample_stats_ex(payload)[0]
+
+
+def _mp4_sample_stats_ex(payload: bytes) -> "tuple[dict | None, str]":
+    """(stats, decode_status) core of `mp4_sample_stats`."""
     import numpy as np
 
     if len(payload) < 16 or payload[4:8] != b"ftyp":
-        return None
+        return None, "not_mp4"
     pos = 0
     mdat = None
     n = len(payload)
@@ -302,24 +333,25 @@ def mp4_sample_stats(payload: bytes) -> "dict | None":
             size = n - pos
         elif size == 1:          # 64-bit largesize follows the fourcc
             if pos + 16 > n:
-                return None
+                return None, "mp4_malformed"
             (size,) = struct.unpack(">Q", payload[pos + 8:pos + 16])
             body_off = pos + 16
         if size < body_off - pos or pos + size > n:
-            return None          # malformed / truncated box, not partial stats
+            # malformed / truncated box, not partial stats
+            return None, "mp4_malformed"
         if btype == b"mdat":
             mdat = payload[body_off:pos + size]
             break
         pos += size
     if not mdat:
-        return None
+        return None, "mp4_no_mdat"
     arr = np.frombuffer(mdat, dtype=np.uint8).astype(np.int64)
     mean = float(int(arr.sum()) / float(len(arr)))
     counts = np.bincount(arr, minlength=256).astype(np.float64)
     probs = counts[counts > 0] / float(len(arr))
     entropy = round(float(-(probs * np.log2(probs)).sum()), 6)
     return {"mp4_mdat_bytes": len(mdat), "mp4_byte_mean": mean,
-            "mp4_byte_entropy": entropy}
+            "mp4_byte_entropy": entropy}, "ok"
 
 
 def _payload_feature(payload: bytes, n_buckets: int = 8) -> list[float]:
@@ -348,9 +380,21 @@ def extract_media_features(df: DataFrame, id_col: str = "media_id", blob_col: st
             for mid, mtype, blob in zip(pdf[id_col], pdf["media_type"], pdf[blob_col]):
                 payload = bytes(blob) if blob is not None else b""
                 hdr = decode_media_header(payload)
-                pix = png_pixel_stats(payload) or {}
-                wav = wav_sample_stats(payload) or {}
-                mp4 = mp4_sample_stats(payload) or {}
+                pix = wav = mp4 = {}
+                # sniff ONCE by magic (the declared media_type is not
+                # trusted) and record why the payload decode did or
+                # didn't produce stats
+                if payload.startswith(_PNG_SIG):
+                    p, status = _png_pixel_stats_ex(payload)
+                    pix = p or {}
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    w, status = _wav_sample_stats_ex(payload)
+                    wav = w or {}
+                elif len(payload) >= 16 and payload[4:8] == b"ftyp":
+                    m4, status = _mp4_sample_stats_ex(payload)
+                    mp4 = m4 or {}
+                else:
+                    status = "unknown_format"
                 rows.append(
                     (
                         int(mid),
@@ -371,6 +415,7 @@ def extract_media_features(df: DataFrame, id_col: str = "media_id", blob_col: st
                         mp4.get("mp4_mdat_bytes"),
                         mp4.get("mp4_byte_mean"),
                         mp4.get("mp4_byte_entropy"),
+                        status,
                     )
                 )
             out = pd.DataFrame(
@@ -466,12 +511,52 @@ def _mp4_blob(media_id: int, payload: bytes) -> bytes:
     return ftyp + moov + mdat  # 16 + 108 + 8 + len(payload) = 132 + len(payload)
 
 
-def synthetic_media(spark, n: int = 64) -> DataFrame:
+def _png_blob_paletted(media_id: int) -> bytes:
+    """Header-only paletted PNG (color type 3): a VALID signature + IHDR
+    carrying the same width/height arithmetic as `_png_blob`, but a mode
+    the pixel decoder deliberately does not support — exercises
+    decode_status='png_unsupported_mode' while the header decode still
+    yields dimensions.  33 bytes."""
+    width = 16 + (media_id % 32) * 4
+    height = 16 + ((media_id * 7) % 32) * 4
+    ihdr = struct.pack(">II", width, height) + bytes([8, 3, 0, 0, 0])
+    return _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+
+
+def _wav_blob8(media_id: int, payload: bytes) -> bytes:
+    """8-bit WAV (same fmt arithmetic as `_wav_blob` except bits=8):
+    header decode still yields channels/sample rate; the PCM decoder
+    reports decode_status='wav_unsupported_bits'."""
+    n_channels = 1 + (media_id % 2)
+    sample_rate = 8000 * (1 + media_id % 5)
+    bits = 8
+    byte_rate = sample_rate * n_channels * bits // 8
+    block_align = n_channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits)
+    data = b"data" + struct.pack("<I", len(payload)) + payload
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body  # 44 + len(payload)
+
+
+def _mp4_blob_nomdat(media_id: int) -> bytes:
+    """MP4 with ftyp+moov/trak/tkhd but NO mdat box: header decode still
+    yields width/height; the payload decoder reports
+    decode_status='mp4_no_mdat'.  124 bytes."""
+    full = _mp4_blob(media_id, b"")
+    return full[:-8]  # drop the trailing (empty) mdat box
+
+
+def synthetic_media(spark, n: int = 64, n_edge: int = 0) -> DataFrame:
     """Deterministic media table with REAL format headers: PNG / WAV / MP4
     round-robin by media_id; every header field is pure arithmetic on
     media_id (see _png_blob/_wav_blob/_mp4_blob) so a SQL oracle can
     recompute what the byte-level decoder must extract.  Payload is
     md5(str(id)) raw bytes repeated (1 + id % 7) times.
+
+    `n_edge` appends deliberately-unsupported blobs (ids n..n+n_edge-1,
+    cycling paletted PNG / 8-bit WAV / mdat-less MP4 / unknown bytes by
+    id % 4) so decode_status coverage is non-vacuous — a real crawl
+    corpus is full of exactly these.
 
     Built via mapInPandas (struct.pack per row inside Arrow batches) —
     a synthetic SOURCE, not a hot-path operator.
@@ -488,6 +573,19 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             for mid in pdf["id"]:
                 mid = int(mid)
                 payload = hashlib.md5(str(mid).encode()).digest() * (1 + mid % 7)
+                if mid >= n:
+                    ekind = mid % 4
+                    if ekind == 0:
+                        rows.append((mid, "image/png", _png_blob_paletted(mid)))
+                    elif ekind == 1:
+                        rows.append((mid, "audio/wav", _wav_blob8(mid, payload)))
+                    elif ekind == 2:
+                        rows.append((mid, "video/mp4", _mp4_blob_nomdat(mid)))
+                    else:
+                        rows.append((mid, "application/octet-stream",
+                                     b"XXAAFF" + hashlib.md5(
+                                         str(mid).encode()).digest()))
+                    continue
                 kind = mid % 3
                 if kind == 0:
                     rows.append((mid, "image/png", _png_blob(mid, payload)))
@@ -497,4 +595,4 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                     rows.append((mid, "video/mp4", _mp4_blob(mid, payload)))
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "blob"])
 
-    return spark.range(n).mapInPandas(gen, schema)
+    return spark.range(n + n_edge).mapInPandas(gen, schema)

@@ -136,3 +136,58 @@ def test_embedding_near_dups_lsh_bucketed(spark):
     got = {(r.vec_a, r.vec_b)
            for r in embedding_near_dups(df, threshold=0.999).collect()}
     assert got == {(i * 2, i * 2 + 1) for i in range(8)}
+
+
+def test_failed_pages_counted_not_silent(spark):
+    """A page whose summarization throws (RecursionError on pathological
+    nesting — a real crawl-corpus failure mode) emits a counted
+    kind='error' row instead of vanishing; valid pages on the same
+    partition are unaffected, and no flow query ever matches the error
+    row (tainted=False)."""
+    from joern_spark.query.crosspage import (
+        page_flow_summaries, page_flow_summaries_ext, summary_error_counts,
+    )
+
+    bomb = "<script>" + "(" * 8000 + "</script>"
+    pages = spark.createDataFrame(
+        [("https://a.example.com/lib", LIB),
+         ("https://a.example.com/bomb", bomb)],
+        "url string, html string")
+    for mk in (page_flow_summaries, page_flow_summaries_ext):
+        rows = mk(pages).collect()
+        errs = [r for r in rows if r.kind == "error"]
+        assert len(errs) == 1
+        assert errs[0].url.endswith("/bomb")
+        assert errs[0].func_name == "summarize_failed:RecursionError"
+        assert errs[0].tainted is False
+        # valid page still summarized
+        assert any(r.kind == "def" and r.func_name == "getParam"
+                   for r in rows)
+    counts = {r.error_class: r.n_pages
+              for r in summary_error_counts(
+                  page_flow_summaries_ext(pages)).collect()}
+    assert counts == {"summarize_failed:RecursionError": 1}
+
+
+def test_wrap_cap_skips_and_counts():
+    """Past max_wrap_pairs the remaining wrap-edge dataflow tests are
+    SKIPPED and counted — a capped page loses wrap edges but never
+    invents them."""
+    from joern_spark.query.crosspage import summarize_page_ext
+
+    html = ("<html><body><script>"
+            "function w1() { return f1(); }\n"
+            "function w2() { return f2(); }\n"
+            "function w3() { return f3(); }\n"
+            "</script></body></html>")
+    st: dict = {}
+    rows = summarize_page_ext("https://a.example.com/w", html,
+                              max_wrap_pairs=2, _stats=st)
+    wraps = [r for r in rows if r[2] == "wrap"]
+    assert len(wraps) == 2
+    assert st == {"wrap_pairs": 2, "wrap_skipped": 1}
+    # uncapped: all three wrap edges, none skipped
+    st2: dict = {}
+    rows2 = summarize_page_ext("https://a.example.com/w", html, _stats=st2)
+    assert len([r for r in rows2 if r[2] == "wrap"]) == 3
+    assert st2 == {"wrap_pairs": 3, "wrap_skipped": 0}

@@ -352,3 +352,33 @@ def test_ivf_cells_degrade_bad_embeddings(spark):
     assert 1 not in got and 2 not in got
     assert got[0] == 0 and got[4] == 1
     assert 3 in got  # zero-norm degraded to a deterministic cell, no crash
+
+
+def test_decode_status_per_reason(spark):
+    """decode_status says WHY a payload decode produced stats or didn't:
+    'ok' for the 64 valid blobs; the 16 edge blobs (ids 64-79) each
+    report their specific unsupported/malformed reason while header
+    fields that DO parse (paletted-PNG dims, 8-bit-WAV rates, mdat-less
+    MP4 dims) stay populated."""
+    from joern_spark.pipeline.multimodal import (
+        extract_media_features, synthetic_media,
+    )
+
+    feats = {r.media_id: r for r in extract_media_features(
+        synthetic_media(spark, 64, n_edge=16)).collect()}
+    assert len(feats) == 80
+    assert all(feats[i].decode_status == "ok" for i in range(64))
+    expect = {0: "png_unsupported_mode", 1: "wav_unsupported_bits",
+              2: "mp4_no_mdat", 3: "unknown_format"}
+    for mid in range(64, 80):
+        r = feats[mid]
+        assert r.decode_status == expect[mid % 4], (mid, r.decode_status)
+        # header-only fields still parse where the format carries them
+        if mid % 4 == 0:
+            assert r.width == 16 + (mid % 32) * 4 and r.mean_r is None
+        elif mid % 4 == 1:
+            assert r.sample_rate == 8000 * (1 + mid % 5) and r.wav_rms is None
+        elif mid % 4 == 2:
+            assert r.width == 320 + (mid % 8) * 16 and r.mp4_mdat_bytes is None
+        else:
+            assert r.width is None and r.n_channels is None
