@@ -354,6 +354,23 @@ def _mp4_sample_stats_ex(payload: bytes) -> "tuple[dict | None, str]":
             "mp4_byte_entropy": entropy}, "ok"
 
 
+def decode_payload_ex(payload: bytes) -> "tuple[dict, dict, dict, str]":
+    """(pix, wav, mp4, decode_status): sniff ONCE by magic number (the
+    declared media_type is never trusted) and run the matching payload
+    decoder.  Shared by the batch feature extractor and the streaming
+    media job so both report the identical status taxonomy."""
+    if payload.startswith(_PNG_SIG):
+        p, status = _png_pixel_stats_ex(payload)
+        return p or {}, {}, {}, status
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        w, status = _wav_sample_stats_ex(payload)
+        return {}, w or {}, {}, status
+    if len(payload) >= 16 and payload[4:8] == b"ftyp":
+        m4, status = _mp4_sample_stats_ex(payload)
+        return {}, {}, m4 or {}, status
+    return {}, {}, {}, "unknown_format"
+
+
 def _payload_feature(payload: bytes, n_buckets: int = 8) -> list[float]:
     """8-bucket byte histogram over the payload, normalized — a real
     (if simple) content feature computed from the actual bytes."""
@@ -380,21 +397,7 @@ def extract_media_features(df: DataFrame, id_col: str = "media_id", blob_col: st
             for mid, mtype, blob in zip(pdf[id_col], pdf["media_type"], pdf[blob_col]):
                 payload = bytes(blob) if blob is not None else b""
                 hdr = decode_media_header(payload)
-                pix = wav = mp4 = {}
-                # sniff ONCE by magic (the declared media_type is not
-                # trusted) and record why the payload decode did or
-                # didn't produce stats
-                if payload.startswith(_PNG_SIG):
-                    p, status = _png_pixel_stats_ex(payload)
-                    pix = p or {}
-                elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-                    w, status = _wav_sample_stats_ex(payload)
-                    wav = w or {}
-                elif len(payload) >= 16 and payload[4:8] == b"ftyp":
-                    m4, status = _mp4_sample_stats_ex(payload)
-                    mp4 = m4 or {}
-                else:
-                    status = "unknown_format"
+                pix, wav, mp4, status = decode_payload_ex(payload)
                 rows.append(
                     (
                         int(mid),
@@ -544,6 +547,28 @@ def _mp4_blob_nomdat(media_id: int) -> bytes:
     decode_status='mp4_no_mdat'.  124 bytes."""
     full = _mp4_blob(media_id, b"")
     return full[:-8]  # drop the trailing (empty) mdat box
+
+
+def media_blob_for(i: int) -> bytes:
+    """Deterministic media blob for corpus index i, cycling valid
+    PNG/WAV/MP4 and the unsupported edge classes (paletted PNG, unknown
+    bytes) — the mix a crawl corpus actually carries.  Bounded:
+    mid = i % 97 keeps PNG dimensions (hence blob size) fixed regardless
+    of corpus size.  Used by the streaming soak's media injection and
+    its tests (must live in the library so Spark workers can import
+    it)."""
+    mid = i % 97
+    payload = hashlib.md5(str(mid).encode()).digest() * (1 + mid % 7)
+    kind = (i // 100) % 5
+    if kind == 0:
+        return _png_blob(mid, payload)
+    if kind == 1:
+        return _wav_blob(mid, payload)
+    if kind == 2:
+        return _mp4_blob(mid, payload)
+    if kind == 3:
+        return _png_blob_paletted(mid)
+    return b"XXAAFF" + hashlib.md5(str(mid).encode()).digest()
 
 
 def synthetic_media(spark, n: int = 64, n_edge: int = 0) -> DataFrame:

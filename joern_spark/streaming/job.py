@@ -242,6 +242,119 @@ def write_findings_partitioned(findings: DataFrame, out_dir: str,
      .parquet(out_dir))
 
 
+# pages may carry an attachment blob (crawl corpora embed images/audio/
+# video alongside the html) — the findings stream reads PAGE_SCHEMA and
+# simply prunes the extra column at the scan
+from pyspark.sql.types import BinaryType, StructField, StructType  # noqa: E402
+
+MEDIA_PAGE_SCHEMA = StructType(
+    list(PAGE_SCHEMA.fields) + [StructField("media", BinaryType())])
+
+
+def media_pages_stream(spark: SparkSession, pages_dir: str,
+                       files_per_trigger: int = 1) -> DataFrame:
+    return (
+        spark.readStream.schema(MEDIA_PAGE_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+
+def media_status_rows(pages: DataFrame) -> DataFrame:
+    """(url, warc_ts, decode_status, media_bytes) for every page CARRYING
+    a media blob — the REAL byte-level decoders (PNG inflate+unfilter /
+    WAV PCM / MP4 box walk, pipeline/multimodal.py) run inside one
+    narrow mapInPandas; the `media IS NOT NULL` filter reaches the scan,
+    and blobs never pass a shuffle (only the status rows do)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField as SF, StructType as ST,
+        TimestampType,
+    )
+
+    out_schema = ST([
+        SF("url", StringType()),
+        SF("warc_ts", TimestampType()),
+        SF("decode_status", StringType()),
+        SF("media_bytes", LongType()),
+    ])
+
+    def run(batches):
+        import pandas as pd
+        from joern_spark.pipeline.multimodal import decode_payload_ex
+        for pdf in batches:
+            statuses = []
+            sizes = []
+            for blob in pdf["media"]:
+                payload = bytes(blob)
+                statuses.append(decode_payload_ex(payload)[3])
+                sizes.append(len(payload))
+            yield pd.DataFrame({
+                "url": pdf["url"], "warc_ts": pdf["warc_ts"],
+                "decode_status": statuses, "media_bytes": sizes,
+            })
+
+    return (pages.where(F.col("media").isNotNull())
+            .select("url", "warc_ts", "media")
+            .mapInPandas(run, out_schema))
+
+
+def windowed_media_features(pages: DataFrame,
+                            set_watermark: bool = True) -> DataFrame:
+    """Streaming media pipeline: decode blobs (media_status_rows) →
+    tumbling-window counts per decode_status.  Identical on batch and
+    streaming frames (unified semantics — the soak golden IS the batch
+    run of this function).  The watermark is set on the DECODE OUTPUT —
+    the EventTimeWatermark tag does not survive mapInPandas (fresh
+    output attributes), the same trap windowed_findings documents."""
+    rows = media_status_rows(pages)
+    if set_watermark:
+        rows = rows.withWatermark("warc_ts", WATERMARK)
+    return (
+        rows.groupBy(F.window("warc_ts", WINDOW).alias("win"),
+                     "decode_status")
+        .agg(F.count(F.lit(1)).alias("n_media"),
+             F.sum("media_bytes").alias("media_bytes"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "decode_status", "n_media", "media_bytes")
+    )
+
+
+def run_media_stream(spark: SparkSession, pages_dir: str, out_dir: str,
+                     checkpoint_dir: str, available_now: bool = False,
+                     files_per_trigger: int = 1):
+    """Start the media-decode stream: binary blobs through the file
+    source, Arrow decode UDF, RocksDB-backed windowed state, and the
+    same idempotent exactly-once epoch sink keyed on
+    (window_start, decode_status)."""
+    stream = media_pages_stream(spark, pages_dir,
+                                files_per_trigger=files_per_trigger)
+    counts = windowed_media_features(stream)
+    writer = (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(exactly_once_batch_writer(
+            out_dir, key_cols=("window_start", "decode_status")))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_media_counts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Latest-epoch-wins per (window, decode_status) — the media stream's
+    read side."""
+    from pyspark.sql import Window as W
+
+    df = spark.read.parquet(os.path.join(out_dir, "findings"))
+    w = W.partitionBy("window_start", "decode_status") \
+         .orderBy(F.desc("batch_id"))
+    return (df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("window_start", "decode_status", "n_media",
+                    "media_bytes"))
+
+
 def run_stream(spark: SparkSession, pages_dir: str, out_dir: str,
                checkpoint_dir: str, max_batches: int | None = None,
                available_now: bool = False, files_per_trigger: int = 1):

@@ -421,3 +421,58 @@ def test_salted_domain_counts_skewed_stream(spark):
         assert n_salts > 1
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_media_stream_golden_and_resume(spark):
+    """Binary media blobs through the streaming path (file source →
+    Arrow decode UDF → watermarked windowed state → exactly-once epoch
+    sink): per-window per-decode_status counts must equal the batch run
+    of the same function, including after a kill+resume, and the status
+    mix must include both 'ok' and unsupported classes."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from streaming_soak import write_chunk
+
+    base = tempfile.mkdtemp(prefix="media_stream_")
+    pages_dir = f"{base}/pages"
+    try:
+        # every 2nd page carries a blob; 3 time-ordered chunks
+        for lo in (0, 160, 320):
+            write_chunk(spark, pages_dir, lo, lo + 160, files=1,
+                        media_frac=0.5)
+        expected = {(str(r.window_start), r.decode_status):
+                    (r.n_media, r.media_bytes)
+                    for r in job.windowed_media_features(
+                        spark.read.parquet(pages_dir)).collect()}
+        statuses = {s for (_w, s) in expected}
+        assert "ok" in statuses and "png_unsupported_mode" in statuses \
+            and "unknown_format" in statuses
+
+        # uninterrupted run
+        q = job.run_media_stream(spark, pages_dir, f"{base}/out1",
+                                 f"{base}/cp1", available_now=True)
+        q.awaitTermination(300)
+        got = {(str(r.window_start), r.decode_status):
+               (r.n_media, r.media_bytes)
+               for r in job.read_media_counts(spark, f"{base}/out1").collect()}
+        assert got == expected
+
+        # interrupted run: kill after first progress, resume, drain
+        q = job.run_media_stream(spark, pages_dir, f"{base}/out2",
+                                 f"{base}/cp2")
+        for _ in range(600):
+            if q.lastProgress:
+                break
+            time.sleep(0.1)
+        q.stop()
+        q2 = job.run_media_stream(spark, pages_dir, f"{base}/out2",
+                                  f"{base}/cp2", available_now=True)
+        q2.awaitTermination(300)
+        got2 = {(str(r.window_start), r.decode_status):
+                (r.n_media, r.media_bytes)
+                for r in job.read_media_counts(spark, f"{base}/out2").collect()}
+        assert got2 == expected
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -40,13 +40,14 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from joern_spark.session import get_spark  # noqa: E402
+from joern_spark.pipeline.multimodal import media_blob_for  # noqa: E402
 from joern_spark.sources.corpus import PAGE_SCHEMA, page_for
 from joern_spark.streaming import job
 from joern_spark.streaming.merge import compact_findings  # noqa: E402
 
 
 def write_chunk(spark, pages_dir: str, lo: int, hi: int, files: int = 1,
-                hot_frac: float = 0.0):
+                hot_frac: float = 0.0, media_frac: float = 0.0):
     """Append pages [lo, hi) as `files` parquet files (micro-batch units).
 
     One file per chunk by default: the file stream source orders files by
@@ -55,9 +56,15 @@ def write_chunk(spark, pages_dir: str, lo: int, hi: int, files: int = 1,
     advances the watermark past its siblings and (correctly) drops their
     oldest rows.  The watermark's 2h disorder bound is a contract on the
     ARRIVAL order; the harness must deliver chunks time-ordered, the way
-    a WARC ingest feed does."""
+    a WARC ingest feed does.
+
+    `media_frac` > 0 attaches a binary media blob (_media_blob_for) to
+    that fraction of pages; the findings stream prunes the extra column
+    at the scan, the media stream decodes it."""
 
     hot_mod = int(hot_frac * 100)
+    media_mod = int(media_frac * 100)
+    schema = job.MEDIA_PAGE_SCHEMA if media_mod else PAGE_SCHEMA
 
     def gen(batches):
         for pdf in batches:
@@ -69,11 +76,15 @@ def write_chunk(spark, pages_dir: str, lo: int, hi: int, files: int = 1,
                     # hot-domain injection: deterministic reassignment of a
                     # fraction of pages to ONE netloc (urls stay unique)
                     url = f"https://hot-skew.example.com/page-{i}"
-                rows.append((i, url, pd.Timestamp(ts, unit="s"), html,
-                             text, "en"))
-            yield pd.DataFrame(rows, columns=[f.name for f in PAGE_SCHEMA.fields])
+                row = (i, url, pd.Timestamp(ts, unit="s"), html, text, "en")
+                if media_mod:
+                    blob = (media_blob_for(i)
+                            if i % 100 < media_mod else None)
+                    row = row + (blob,)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    (spark.range(lo, hi, numPartitions=files).mapInPandas(gen, PAGE_SCHEMA)
+    (spark.range(lo, hi, numPartitions=files).mapInPandas(gen, schema)
      .write.mode("append").parquet(pages_dir))
 
 
@@ -130,6 +141,11 @@ def main():
                     help="fraction of pages reassigned to one hot domain; "
                          ">0 also runs the SALTED per-domain rollup stream "
                          "and reports straggler-tail task metrics")
+    ap.add_argument("--media-frac", type=float, default=0.0,
+                    help="fraction of pages carrying a binary media blob "
+                         "(PNG/WAV/MP4 + unsupported edge classes); >0 "
+                         "also runs the media-decode stream and adds its "
+                         "per-window per-status golden")
     ap.add_argument("--out", default="/tmp/soak")
     args = ap.parse_args()
 
@@ -163,7 +179,8 @@ def main():
                     if phase == args.kills - 1 else chunks_per_phase)
         for _ in range(n_chunks):
             write_chunk(spark, pages_dir, written, written + per_chunk,
-                        files=files_per, hot_frac=args.hot_frac)
+                        files=files_per, hot_frac=args.hot_frac,
+                        media_frac=args.media_frac)
             written += per_chunk
 
         q = job.run_stream(spark, pages_dir, out_dir, cp_dir,
@@ -180,6 +197,13 @@ def main():
                 spark, pages_dir, f"{base}/salted_out", f"{base}/salted_cp",
                 available_now=True, files_per_trigger=files_per)
             qs.awaitTermination(1800)
+        if args.media_frac > 0:
+            # the binary-column surface: blob decode + windowed state +
+            # exactly-once sink under the same phase/kill cadence
+            qm = job.run_media_stream(
+                spark, pages_dir, f"{base}/media_out", f"{base}/media_cp",
+                available_now=True, files_per_trigger=files_per)
+            qm.awaitTermination(1800)
         phases.append({
             "phase": phase,
             "docs_total": written,
@@ -206,6 +230,47 @@ def main():
     got = {(str(r.window_start), r.query_name): (r.n_matches, r.n_docs)
            for r in job.read_results(spark, out_dir).collect()}
     golden_ok = got == expected
+
+    # cross-page summary observability: the counted page-drop / wrap-cap
+    # rows over a deterministic ~4096-page sample (the full corpus would
+    # re-run per-page dataflow for minutes; the counters are per-page, so
+    # a sample measures the RATE)
+    from pyspark.sql import functions as F
+    from joern_spark.query.crosspage import (
+        page_flow_summaries_ext, summary_error_counts,
+    )
+    stride = max(1, written // 4096)
+    sample = spark.read.parquet(pages_dir) \
+        .where(F.col("doc_seq") % stride == 0)
+    errs = {r.error_class: r.n_pages
+            for r in summary_error_counts(
+                page_flow_summaries_ext(sample)).collect()}
+    crosspage_errors = {
+        "pages_sampled": sample.count(),
+        "pages_failed": sum(v for k, v in errs.items()
+                            if k.startswith("summarize_failed")),
+        "pages_wrap_capped": errs.get("wrap_capped", 0),
+    }
+
+    media = {}
+    if args.media_frac > 0:
+        # golden: the SAME windowed_media_features function over the full
+        # batch corpus (unified semantics) — per-window per-status exact
+        exp_media = {(str(r.window_start), r.decode_status):
+                     (r.n_media, r.media_bytes)
+                     for r in job.windowed_media_features(
+                         spark.read.parquet(pages_dir)).collect()}
+        got_media = {(str(r.window_start), r.decode_status):
+                     (r.n_media, r.media_bytes)
+                     for r in job.read_media_counts(
+                         spark, f"{base}/media_out").collect()}
+        media = {
+            "media_frac": args.media_frac,
+            "media_docs": sum(n for (n, _b) in exp_media.values()),
+            "media_statuses": sorted({s for (_w, s) in exp_media}),
+            "media_golden_match": got_media == exp_media,
+            "n_media_rows": len(exp_media),
+        }
 
     skew = {}
     if args.hot_frac > 0:
@@ -241,9 +306,12 @@ def main():
         "golden_counts_match": golden_ok,
         "n_windows": len(expected),
         "phases": phases,
+        "crosspage_errors": crosspage_errors,
         **({"skew": skew} if skew else {}),
+        **({"media": media} if media else {}),
     }))
-    if not golden_ok or (skew and not skew["salted_golden_match"]):
+    if (not golden_ok or (skew and not skew["salted_golden_match"])
+            or (media and not media["media_golden_match"])):
         raise SystemExit(1)
 
 
