@@ -314,9 +314,12 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PNG IHDR / WAV RIFF / MP4 tkhd) → mapInPandas byte-level header
     decode.  The oracle recomputes every field from media_id arithmetic
     (the generator's parameters), so this checks the decoder round-trips
-    the actual bytes.  16 edge blobs (ids 64-79: paletted PNG, 8-bit
-    WAV, mdat-less MP4, unknown bytes) make the decode_status column
-    non-vacuous — its per-reason statuses are part of the oracle."""
+    the actual bytes.  16 edge blobs (ids 64-79, cycling id % 8) make
+    the decode_status column non-vacuous: paletted PNG and 8-bit WAV
+    DECODE (their pixel/sample stats are oracle-recomputed from the
+    closed forms), while mdat-less MP4, unknown bytes, 16-bit PNG,
+    float WAV, 24-bit WAV and truncated MP4 each exercise one specific
+    non-ok status — all part of the oracle."""
     media = multimodal.synthetic_media(spark, 64, n_edge=16)
     feats = multimodal.extract_media_features(media)
     return feats.select("media_id", "media_type", "n_bytes",
@@ -1173,6 +1176,74 @@ def oracle_sql() -> dict[str, str]:
                                 * log2(CAST(cnt AS DOUBLE) / n)), 6) AS me
               FROM mcnt mc JOIN mmean ON mc.media_id = mmean.media_id
               GROUP BY mc.media_id, n
+            ),
+            -- paletted edge PNGs (id % 8 = 0): decoded through the
+            -- 64-entry closed-form palette — channel c of pixel (x,y)
+            -- is (((x*3 + y*7 + id) % 64) * 5 + c*11 + id) % 256
+            epng AS (
+              SELECT media_id,
+                     16 + (media_id % 32) * 4 AS w,
+                     16 + ((media_id * 7) % 32) * 4 AS h
+              FROM (SELECT range AS media_id FROM range(64, 80))
+              WHERE media_id % 8 = 0
+            ),
+            eppix AS (
+              SELECT epng.media_id, c.c AS chan,
+                     (((x.x * 3 + y.y * 7 + epng.media_id) % 64) * 5
+                      + c.c * 11 + epng.media_id) % 256 AS v
+              FROM epng, range(0, 3) c(c), range(0, 140) x(x),
+                   range(0, 140) y(y)
+              WHERE x.x < epng.w AND y.y < epng.h
+            ),
+            ep_mean AS (
+              SELECT media_id, chan,
+                     CAST(sum(v) AS DOUBLE) / count(*) AS mv
+              FROM eppix GROUP BY media_id, chan
+            ),
+            ep_vcount AS (
+              SELECT media_id, v, count(*) AS cnt
+              FROM eppix GROUP BY media_id, v
+            ),
+            ep_ent AS (
+              SELECT vc.media_id,
+                     round(-sum((CAST(cnt AS DOUBLE) / (3.0 * w * h))
+                                * log2(CAST(cnt AS DOUBLE) / (3.0 * w * h))),
+                           6) AS e
+              FROM ep_vcount vc JOIN epng ON vc.media_id = epng.media_id
+              GROUP BY vc.media_id, w, h
+            ),
+            -- 8-bit edge WAVs (id % 8 = 1): one unsigned sample per
+            -- payload byte, midpoint 128 → s = byte - 128, rebuilt from
+            -- DuckDB's own md5 like the 16-bit samples
+            ewav AS (
+              SELECT media_id, 16 * (1 + media_id % 7) AS n_samples,
+                     md5(CAST(media_id AS VARCHAR)) AS hex
+              FROM (SELECT range AS media_id FROM range(64, 80))
+              WHERE media_id % 8 = 1
+            ),
+            ewsamp AS (
+              SELECT w.media_id, k.k AS k,
+                     ('0x' || substr(w.hex, (k.k % 16)*2 + 1, 2))::INT
+                     - 128 AS s
+              FROM ewav w, range(0, 112) k(k)
+              WHERE k.k < w.n_samples
+            ),
+            ewrms AS (
+              SELECT media_id,
+                     sqrt(CAST(sum(s*s) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE)) AS rms
+              FROM ewsamp GROUP BY media_id
+            ),
+            ewzc AS (
+              SELECT media_id,
+                     CAST(sum(CASE WHEN prev_s IS NOT NULL
+                                    AND ((s < 0) != (prev_s < 0))
+                              THEN 1 ELSE 0 END) AS BIGINT) AS zc
+              FROM (SELECT media_id, s,
+                           lag(s) OVER (PARTITION BY media_id ORDER BY k)
+                             AS prev_s
+                    FROM ewsamp)
+              GROUP BY media_id
             )
             SELECT m.media_id,
                    CASE m.media_id % 3 WHEN 0 THEN 'image/png'
@@ -1211,42 +1282,71 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN mmean ON m.media_id = mmean.media_id
             LEFT JOIN ment ON m.media_id = ment.media_id
             UNION ALL
-            -- edge blobs (ids 64-79): header fields still parse where the
-            -- format carries them; payload stats are NULL and the status
-            -- says why (generator classes cycle on media_id % 4)
+            -- edge blobs (ids 64-79, cycling media_id % 8): paletted
+            -- PNG (0) and 8-bit WAV (1) fully DECODE — their stats come
+            -- from the ep_*/ew* CTEs above; the remaining classes each
+            -- exercise one specific non-ok status while header fields
+            -- that still parse stay populated
             SELECT e.media_id,
-                   CASE e.media_id % 4 WHEN 0 THEN 'image/png'
-                                       WHEN 1 THEN 'audio/wav'
-                                       WHEN 2 THEN 'video/mp4'
-                                       ELSE 'application/octet-stream'
+                   CASE e.media_id % 8
+                     WHEN 0 THEN 'image/png'
+                     WHEN 1 THEN 'audio/wav'
+                     WHEN 2 THEN 'video/mp4'
+                     WHEN 3 THEN 'application/octet-stream'
+                     WHEN 4 THEN 'image/png'
+                     WHEN 5 THEN 'audio/wav'
+                     WHEN 6 THEN 'audio/wav'
+                     ELSE 'video/mp4'
                    END AS media_type,
-                   CAST(CASE e.media_id % 4
-                          WHEN 0 THEN 33
+                   CAST(CASE e.media_id % 8
+                          WHEN 0 THEN 272 + (16 + ((e.media_id * 7) % 32) * 4)
+                                       * (1 + 16 + (e.media_id % 32) * 4)
                           WHEN 1 THEN 44 + 16*(1 + e.media_id % 7)
-                          WHEN 2 THEN 124 ELSE 22 END AS BIGINT) AS n_bytes,
-                   CAST(CASE e.media_id % 4
-                          WHEN 0 THEN 16 + (e.media_id % 32) * 4
-                          WHEN 2 THEN 320 + (e.media_id % 8) * 16
+                          WHEN 2 THEN 124
+                          WHEN 3 THEN 22
+                          WHEN 4 THEN 33
+                          WHEN 5 THEN 44 + 16*(1 + e.media_id % 7)
+                          WHEN 6 THEN 44 + 16*(1 + e.media_id % 7)
+                          ELSE 128 + 16*(1 + e.media_id % 7)
+                        END AS BIGINT) AS n_bytes,
+                   CAST(CASE
+                          WHEN e.media_id % 8 IN (0, 4)
+                            THEN 16 + (e.media_id % 32) * 4
+                          WHEN e.media_id % 8 IN (2, 7)
+                            THEN 320 + (e.media_id % 8) * 16
                         END AS INT) AS width,
-                   CAST(CASE e.media_id % 4
-                          WHEN 0 THEN 16 + ((e.media_id * 7) % 32) * 4
-                          WHEN 2 THEN 240 + ((e.media_id * 3) % 8) * 16
+                   CAST(CASE
+                          WHEN e.media_id % 8 IN (0, 4)
+                            THEN 16 + ((e.media_id * 7) % 32) * 4
+                          WHEN e.media_id % 8 IN (2, 7)
+                            THEN 240 + ((e.media_id * 3) % 8) * 16
                         END AS INT) AS height,
-                   CAST(CASE e.media_id % 4
-                          WHEN 1 THEN 1 + e.media_id % 2 END AS INT) AS n_channels,
-                   CAST(CASE e.media_id % 4
-                          WHEN 1 THEN 8000 * (1 + e.media_id % 5)
+                   CAST(CASE WHEN e.media_id % 8 IN (1, 5, 6)
+                          THEN 1 + e.media_id % 2 END AS INT) AS n_channels,
+                   CAST(CASE WHEN e.media_id % 8 IN (1, 5, 6)
+                          THEN 8000 * (1 + e.media_id % 5)
                         END AS INT) AS sample_rate,
-                   NULL AS mean_r, NULL AS mean_g, NULL AS mean_b,
-                   NULL AS pixel_entropy,
-                   NULL AS wav_rms, CAST(NULL AS BIGINT) AS wav_zero_crossings,
+                   er.mv AS mean_r, eg.mv AS mean_g, eb.mv AS mean_b,
+                   ep_ent.e AS pixel_entropy,
+                   ewrms.rms AS wav_rms, ewzc.zc AS wav_zero_crossings,
                    CAST(NULL AS BIGINT) AS mp4_mdat_bytes,
                    NULL AS mp4_byte_mean, NULL AS mp4_byte_entropy,
-                   CASE e.media_id % 4 WHEN 0 THEN 'png_unsupported_mode'
-                                       WHEN 1 THEN 'wav_unsupported_bits'
-                                       WHEN 2 THEN 'mp4_no_mdat'
-                                       ELSE 'unknown_format'
+                   CASE e.media_id % 8
+                     WHEN 0 THEN 'ok'
+                     WHEN 1 THEN 'ok'
+                     WHEN 2 THEN 'mp4_no_mdat'
+                     WHEN 3 THEN 'unknown_format'
+                     WHEN 4 THEN 'png_unsupported_mode'
+                     WHEN 5 THEN 'wav_unsupported_codec'
+                     WHEN 6 THEN 'wav_unsupported_bits'
+                     ELSE 'mp4_malformed'
                    END AS decode_status
             FROM (SELECT range AS media_id FROM range(64, 80)) e
+            LEFT JOIN ep_mean er ON e.media_id = er.media_id AND er.chan = 0
+            LEFT JOIN ep_mean eg ON e.media_id = eg.media_id AND eg.chan = 1
+            LEFT JOIN ep_mean eb ON e.media_id = eb.media_id AND eb.chan = 2
+            LEFT JOIN ep_ent ON e.media_id = ep_ent.media_id
+            LEFT JOIN ewrms ON e.media_id = ewrms.media_id
+            LEFT JOIN ewzc ON e.media_id = ewzc.media_id
         """,
     }

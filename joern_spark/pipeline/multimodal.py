@@ -67,8 +67,8 @@ MEDIA_FEATURE_SCHEMA = StructType(
         # real 100 TB corpus "how much of the media actually decoded"
         # must be a queryable column, not a silent None ('ok',
         # 'png_unsupported_mode', 'png_too_large', 'png_corrupt',
-        # 'wav_unsupported_bits', 'wav_no_data', 'wav_corrupt',
-        # 'mp4_no_mdat', 'mp4_malformed', 'unknown_format')
+        # 'wav_unsupported_codec', 'wav_unsupported_bits', 'wav_no_data',
+        # 'wav_corrupt', 'mp4_no_mdat', 'mp4_malformed', 'unknown_format')
         StructField("decode_status", StringType()),
     ]
 )
@@ -136,22 +136,24 @@ def decode_media_header(payload: bytes) -> dict:
     return out
 
 
-_PNG_BPP = {0: 1, 2: 3, 4: 2, 6: 4}  # 8-bit gray / RGB / gray+A / RGBA
+#  bytes per pixel at bit depth 8: gray / RGB / palette-index / gray+A / RGBA
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def png_pixel_stats(payload: bytes) -> "dict | None":
-    """REAL pixel decode for 8-bit PNGs (grayscale, RGB, gray+alpha,
-    RGBA), stdlib-only: walk the chunk table, concatenate IDAT,
-    zlib-inflate, undo the per-scanline filters (all five types —
-    None/Sub/Up/Average/Paeth, PNG spec §9), and return
-    {mean_r, mean_g, mean_b, pixel_entropy} over the decoded COLOR
-    bytes (alpha bytes participate in unfiltering — the filter distance
-    is the full pixel width — but are excluded from the stats; for
-    grayscale the single channel reports as mean_r = mean_g = mean_b).
-    Entropy is bits over the color-byte-value distribution, rounded to
-    6dp; means are exact sum/count doubles.  Returns None for non-PNG
-    input, paletted/16-bit modes, or corrupt streams (use
-    `_png_pixel_stats_ex` for the per-reason decode_status)."""
+    """REAL pixel decode for 8-bit PNGs (grayscale, RGB, paletted,
+    gray+alpha, RGBA), stdlib-only: walk the chunk table, concatenate
+    IDAT, zlib-inflate, undo the per-scanline filters (all five types —
+    None/Sub/Up/Average/Paeth, PNG spec §9), map palette indices through
+    PLTE for color type 3, and return {mean_r, mean_g, mean_b,
+    pixel_entropy} over the decoded COLOR bytes (alpha bytes participate
+    in unfiltering — the filter distance is the full pixel width — but
+    are excluded from the stats; for grayscale the single channel
+    reports as mean_r = mean_g = mean_b).  Entropy is bits over the
+    color-byte-value distribution, rounded to 6dp; means are exact
+    sum/count doubles.  Returns None for non-PNG input, 16-bit/packed
+    bit depths, or corrupt streams (use `_png_pixel_stats_ex` for the
+    per-reason decode_status)."""
     return _png_pixel_stats_ex(payload)[0]
 
 
@@ -164,6 +166,7 @@ def _png_pixel_stats_ex(payload: bytes) -> "tuple[dict | None, str]":
         return None, "not_png"
     pos = 8
     width = height = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
@@ -173,8 +176,10 @@ def _png_pixel_stats_ex(payload: bytes) -> "tuple[dict | None, str]":
             width, height = struct.unpack(">II", data[:8])
             bit_depth, color_type = data[8], data[9]
             if bit_depth != 8 or color_type not in _PNG_BPP:
-                # paletted / 16-bit modes stay out of scope
+                # 16-bit and packed (1/2/4-bit) depths stay out of scope
                 return None, "png_unsupported_mode"
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -238,8 +243,21 @@ def _png_pixel_stats_ex(payload: bytes) -> "tuple[dict | None, str]":
             return None, "png_corrupt"
         out[y] = rec.astype(np.uint8)
     pix = out.reshape(height, width, bpp)
-    n_color = 1 if color_type in (0, 4) else 3
-    color = pix[:, :, :n_color]
+    if color_type == 3:
+        # paletted: unfiltered bytes are palette indices; PLTE is
+        # mandatory for this mode (PNG spec §11.2.3) and an index past
+        # its end is a spec violation, not a degradable condition
+        if plte is None or len(plte) < 3 or len(plte) % 3:
+            return None, "png_corrupt"
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = pix[:, :, 0]
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            return None, "png_corrupt"
+        color = palette[idx]  # (height, width, 3) RGB bytes
+        n_color = 3
+    else:
+        n_color = 1 if color_type in (0, 4) else 3
+        color = pix[:, :, :n_color]
     n = height * width
     sums = color.reshape(-1, n_color).sum(axis=0, dtype=np.int64)
     means = sums / float(n)
@@ -263,13 +281,15 @@ def _png_pixel_stats_ex(payload: bytes) -> "tuple[dict | None, str]":
 
 
 def wav_sample_stats(payload: bytes) -> "dict | None":
-    """REAL sample decode for 16-bit PCM WAV: RIFF chunk walk to `data`,
-    reinterpret as little-endian int16, return {wav_rms,
+    """REAL sample decode for 16-bit and 8-bit PCM WAV: RIFF chunk walk
+    to `data`, reinterpret as little-endian int16 (16-bit) or unsigned
+    bytes offset by 128 (8-bit, per the WAV spec), return {wav_rms,
     wav_zero_crossings}.  RMS = sqrt(mean(s^2)) with an exact integer
     sum-of-squares (engine-identical double); zero crossings = count of
     strict sign flips ((s[i] < 0) != (s[i+1] < 0)).  Returns None for
-    non-WAV input, non-16-bit formats, or a missing/odd data chunk (use
-    `_wav_sample_stats_ex` for the per-reason decode_status)."""
+    non-WAV input, non-PCM codecs, other bit depths, or a missing data
+    chunk (use `_wav_sample_stats_ex` for the per-reason
+    decode_status)."""
     return _wav_sample_stats_ex(payload)[0]
 
 
@@ -280,25 +300,31 @@ def _wav_sample_stats_ex(payload: bytes) -> "tuple[dict | None, str]":
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None, "not_wav"
     pos = 12
-    bits = None
+    codec = bits = None
     data = None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
+            codec = struct.unpack("<H", body[0:2])[0]
             bits = struct.unpack("<H", body[14:16])[0]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
     if bits is None:
         return None, "wav_corrupt"       # no fmt chunk at all
-    if bits != 16:
+    if codec != 1:                        # IEEE-float / ADPCM / extensible
+        return None, "wav_unsupported_codec"
+    if bits not in (8, 16):
         return None, "wav_unsupported_bits"
-    if data is None or len(data) < 2:
+    if data is None or len(data) < bits // 8:
         return None, "wav_no_data"
-    s = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2") \
-        .astype(np.int64)
+    if bits == 16:
+        s = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2") \
+            .astype(np.int64)
+    else:  # 8-bit PCM is unsigned with a 128 midpoint (WAV spec)
+        s = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
     rms = float(np.sqrt(np.cumsum(s * s)[-1] / float(len(s))))
     neg = s < 0
     zc = int(np.count_nonzero(neg[:-1] != neg[1:]))
@@ -515,24 +541,90 @@ def _mp4_blob(media_id: int, payload: bytes) -> bytes:
 
 
 def _png_blob_paletted(media_id: int) -> bytes:
-    """Header-only paletted PNG (color type 3): a VALID signature + IHDR
-    carrying the same width/height arithmetic as `_png_blob`, but a mode
-    the pixel decoder deliberately does not support — exercises
+    """A fully VALID 8-bit paletted PNG (color type 3): same
+    width/height arithmetic as `_png_blob`, a 64-entry PLTE with
+    palette[p][c] = (p*5 + c*11 + media_id) % 256, index scanlines
+    idx(x, y) = (x*3 + y*7 + media_id) % 64, rows cycling filter types
+    None/Sub/Up (bpp = 1, so Sub's left neighbour is one byte back).
+    Closed form for the SQL oracle — channel c of pixel (x, y):
+    (((x*3 + y*7 + id) % 64) * 5 + c*11 + id) % 256.
+    n_bytes = 272 + h*(1+w) (sig 8 + IHDR 25 + PLTE 204 + IDAT chunk
+    23 + h*(1+w) zlib-stored + IEND 12)."""
+    width = 16 + (media_id % 32) * 4
+    height = 16 + ((media_id * 7) % 32) * 4
+    ihdr = struct.pack(">II", width, height) + bytes([8, 3, 0, 0, 0])
+    plte = bytes((p * 5 + c * 11 + media_id) % 256
+                 for p in range(64) for c in range(3))
+    raw = bytearray()
+    prev = [0] * width
+    for y in range(height):
+        row = [(x * 3 + y * 7 + media_id) % 64 for x in range(width)]
+        ftype = y % 3
+        raw.append(ftype)
+        if ftype == 0:      # None
+            raw += bytes(row)
+        elif ftype == 1:    # Sub
+            raw += bytes((row[i] - (row[i - 1] if i >= 1 else 0)) & 0xFF
+                         for i in range(width))
+        else:               # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(width))
+        prev = row
+    idat = zlib.compress(bytes(raw), 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", plte)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def _png_blob16(media_id: int) -> bytes:
+    """Header-only 16-bit RGB PNG: a VALID signature + IHDR carrying the
+    same width/height arithmetic as `_png_blob`, but a bit depth the
+    pixel decoder deliberately does not support — exercises
     decode_status='png_unsupported_mode' while the header decode still
     yields dimensions.  33 bytes."""
     width = 16 + (media_id % 32) * 4
     height = 16 + ((media_id * 7) % 32) * 4
-    ihdr = struct.pack(">II", width, height) + bytes([8, 3, 0, 0, 0])
+    ihdr = struct.pack(">II", width, height) + bytes([16, 2, 0, 0, 0])
     return _PNG_SIG + _png_chunk(b"IHDR", ihdr)
 
 
 def _wav_blob8(media_id: int, payload: bytes) -> bytes:
-    """8-bit WAV (same fmt arithmetic as `_wav_blob` except bits=8):
-    header decode still yields channels/sample rate; the PCM decoder
-    reports decode_status='wav_unsupported_bits'."""
+    """8-bit PCM WAV (same fmt arithmetic as `_wav_blob` except bits=8):
+    fully decodable — each payload byte is one unsigned sample with a
+    128 midpoint, so the oracle recomputes s = byte - 128 from its own
+    md5.  n_bytes = 44 + len(payload)."""
     n_channels = 1 + (media_id % 2)
     sample_rate = 8000 * (1 + media_id % 5)
     bits = 8
+    byte_rate = sample_rate * n_channels * bits // 8
+    block_align = n_channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits)
+    data = b"data" + struct.pack("<I", len(payload)) + payload
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body  # 44 + len(payload)
+
+
+def _wav_blob_float(media_id: int, payload: bytes) -> bytes:
+    """IEEE-float WAV (format code 3, bits=32): header decode still
+    yields channels/sample rate; the PCM decoder reports
+    decode_status='wav_unsupported_codec'.  n_bytes = 44 + len(payload)."""
+    n_channels = 1 + (media_id % 2)
+    sample_rate = 8000 * (1 + media_id % 5)
+    bits = 32
+    byte_rate = sample_rate * n_channels * bits // 8
+    block_align = n_channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 3, n_channels, sample_rate, byte_rate, block_align, bits)
+    data = b"data" + struct.pack("<I", len(payload)) + payload
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body  # 44 + len(payload)
+
+
+def _wav_blob24(media_id: int, payload: bytes) -> bytes:
+    """24-bit PCM WAV (same fmt arithmetic as `_wav_blob` except
+    bits=24): header decode still yields channels/sample rate; the PCM
+    decoder reports decode_status='wav_unsupported_bits'.
+    n_bytes = 44 + len(payload)."""
+    n_channels = 1 + (media_id % 2)
+    sample_rate = 8000 * (1 + media_id % 5)
+    bits = 24
     byte_rate = sample_rate * n_channels * bits // 8
     block_align = n_channels * bits // 8
     fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits)
@@ -549,17 +641,27 @@ def _mp4_blob_nomdat(media_id: int) -> bytes:
     return full[:-8]  # drop the trailing (empty) mdat box
 
 
+def _mp4_blob_truncated(media_id: int, payload: bytes) -> bytes:
+    """MP4 whose trailing mdat box claims more bytes than the blob holds
+    (a mid-transfer truncation, the most common real-corpus corruption):
+    the moov/tkhd header still parses to width/height, the payload
+    decoder reports decode_status='mp4_malformed'.
+    n_bytes = 128 + len(payload)."""
+    return _mp4_blob(media_id, payload)[:-4]
+
+
 def media_blob_for(i: int) -> bytes:
-    """Deterministic media blob for corpus index i, cycling valid
-    PNG/WAV/MP4 and the unsupported edge classes (paletted PNG, unknown
-    bytes) — the mix a crawl corpus actually carries.  Bounded:
+    """Deterministic media blob for corpus index i, cycling the decoded
+    formats (RGB PNG, 16-bit WAV, MP4, paletted PNG, 8-bit WAV) and the
+    undecodable edge classes (16-bit PNG, unknown bytes, float WAV,
+    truncated MP4) — the mix a crawl corpus actually carries.  Bounded:
     mid = i % 97 keeps PNG dimensions (hence blob size) fixed regardless
     of corpus size.  Used by the streaming soak's media injection and
     its tests (must live in the library so Spark workers can import
     it)."""
     mid = i % 97
     payload = hashlib.md5(str(mid).encode()).digest() * (1 + mid % 7)
-    kind = (i // 100) % 5
+    kind = (i // 100) % 9
     if kind == 0:
         return _png_blob(mid, payload)
     if kind == 1:
@@ -567,8 +669,16 @@ def media_blob_for(i: int) -> bytes:
     if kind == 2:
         return _mp4_blob(mid, payload)
     if kind == 3:
+        return _png_blob16(mid)
+    if kind == 4:
+        return b"XXAAFF" + hashlib.md5(str(mid).encode()).digest()
+    if kind == 5:
         return _png_blob_paletted(mid)
-    return b"XXAAFF" + hashlib.md5(str(mid).encode()).digest()
+    if kind == 6:
+        return _wav_blob8(mid, payload)
+    if kind == 7:
+        return _wav_blob_float(mid, payload)
+    return _mp4_blob_truncated(mid, payload)
 
 
 def synthetic_media(spark, n: int = 64, n_edge: int = 0) -> DataFrame:
@@ -578,9 +688,11 @@ def synthetic_media(spark, n: int = 64, n_edge: int = 0) -> DataFrame:
     recompute what the byte-level decoder must extract.  Payload is
     md5(str(id)) raw bytes repeated (1 + id % 7) times.
 
-    `n_edge` appends deliberately-unsupported blobs (ids n..n+n_edge-1,
-    cycling paletted PNG / 8-bit WAV / mdat-less MP4 / unknown bytes by
-    id % 4) so decode_status coverage is non-vacuous — a real crawl
+    `n_edge` appends edge-class blobs (ids n..n+n_edge-1, cycling by
+    id % 8: paletted PNG and 8-bit WAV — both fully DECODED — then
+    mdat-less MP4, unknown bytes, 16-bit PNG, IEEE-float WAV, 24-bit
+    WAV, and truncated MP4, which exercise every non-corrupt
+    decode_status) so status coverage is non-vacuous — a real crawl
     corpus is full of exactly these.
 
     Built via mapInPandas (struct.pack per row inside Arrow batches) —
@@ -599,17 +711,28 @@ def synthetic_media(spark, n: int = 64, n_edge: int = 0) -> DataFrame:
                 mid = int(mid)
                 payload = hashlib.md5(str(mid).encode()).digest() * (1 + mid % 7)
                 if mid >= n:
-                    ekind = mid % 4
+                    ekind = mid % 8
                     if ekind == 0:
                         rows.append((mid, "image/png", _png_blob_paletted(mid)))
                     elif ekind == 1:
                         rows.append((mid, "audio/wav", _wav_blob8(mid, payload)))
                     elif ekind == 2:
                         rows.append((mid, "video/mp4", _mp4_blob_nomdat(mid)))
-                    else:
+                    elif ekind == 3:
                         rows.append((mid, "application/octet-stream",
                                      b"XXAAFF" + hashlib.md5(
                                          str(mid).encode()).digest()))
+                    elif ekind == 4:
+                        rows.append((mid, "image/png", _png_blob16(mid)))
+                    elif ekind == 5:
+                        rows.append((mid, "audio/wav",
+                                     _wav_blob_float(mid, payload)))
+                    elif ekind == 6:
+                        rows.append((mid, "audio/wav",
+                                     _wav_blob24(mid, payload)))
+                    else:
+                        rows.append((mid, "video/mp4",
+                                     _mp4_blob_truncated(mid, payload)))
                     continue
                 kind = mid % 3
                 if kind == 0:

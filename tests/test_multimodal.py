@@ -176,13 +176,55 @@ def test_png_unfilter_average_and_paeth():
 
 def test_png_pixel_stats_rejects_non_rgb8_and_garbage():
     assert png_pixel_stats(b"not a png") is None
-    # paletted color type → None (palette indirection out of scope)
+    # paletted header with no PLTE/IDAT → corrupt, not an exception
     ihdr = struct.pack(">II", 4, 4) + bytes([8, 3, 0, 0, 0])
     blob = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
     assert png_pixel_stats(blob) is None
+    # 16-bit depth → unsupported mode
+    ihdr16 = struct.pack(">II", 4, 4) + bytes([16, 2, 0, 0, 0])
+    blob16 = _PNG_SIG + _png_chunk(b"IHDR", ihdr16) + _png_chunk(b"IEND", b"")
+    assert png_pixel_stats(blob16) is None
     # truncated IDAT → None, not an exception
     good = _png_blob(3)
     assert png_pixel_stats(good[:60]) is None
+
+
+def test_png_paletted_decode_roundtrip():
+    """Paletted decode: unfiltered indices map through PLTE to the same
+    stats an equivalent RGB image would produce."""
+    from joern_spark.pipeline.multimodal import _png_blob_paletted
+
+    mid = 5
+    st = png_pixel_stats(_png_blob_paletted(mid))
+    w, h = 16 + (mid % 32) * 4, 16 + ((mid * 7) % 32) * 4
+    vals = [(((x * 3 + y * 7 + mid) % 64) * 5 + c * 11 + mid) % 256
+            for x in range(w) for y in range(h) for c in range(3)]
+    for c, key in enumerate(("mean_r", "mean_g", "mean_b")):
+        assert st[key] == sum(vals[c::3]) / (w * h)
+    # index past the palette end is a spec violation → corrupt
+    blob = bytearray(_png_blob_paletted(mid))
+    plte_at = blob.index(b"PLTE")
+    short = blob[:plte_at - 4] + _png_chunk(b"PLTE", bytes(3 * 8)) \
+        + blob[plte_at + 4 + 192 + 4:]
+    assert png_pixel_stats(bytes(short)) is None
+
+
+def test_wav8_decode_and_codec_rejection():
+    from joern_spark.pipeline.multimodal import (
+        _wav_blob8, _wav_blob_float, _wav_blob24, _wav_sample_stats_ex,
+    )
+
+    payload = bytes(range(200, 256)) + bytes(range(0, 56))
+    st, status = _wav_sample_stats_ex(_wav_blob8(1, payload))
+    assert status == "ok"
+    s = [b - 128 for b in payload]
+    assert st["wav_rms"] == (sum(v * v for v in s) / len(s)) ** 0.5
+    assert st["wav_zero_crossings"] == sum(
+        (a < 0) != (b < 0) for a, b in zip(s, s[1:]))
+    assert _wav_sample_stats_ex(_wav_blob_float(1, payload))[1] \
+        == "wav_unsupported_codec"
+    assert _wav_sample_stats_ex(_wav_blob24(1, payload))[1] \
+        == "wav_unsupported_bits"
 
 
 def _png_raw(pixels, color_type, filters):
@@ -299,15 +341,26 @@ def test_wav_sample_stats_known_values():
         assert st["wav_zero_crossings"] == zc
 
 
-def test_wav_sample_stats_rejects_non_pcm16():
+def test_wav_sample_stats_codec_and_depth_gates():
     from joern_spark.pipeline.multimodal import wav_sample_stats
     assert wav_sample_stats(b"not a wav") is None
-    # 8-bit fmt -> None
-    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt \
-        + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
-    blob = b"RIFF" + struct.pack("<I", len(body)) + body
-    assert wav_sample_stats(blob) is None
+
+    def blob(codec, bits, data):
+        fmt = struct.pack("<HHIIHH", codec, 1, 8000,
+                          8000 * bits // 8, bits // 8, bits)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt \
+            + b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 8-bit PCM now DECODES: unsigned bytes with a 128 midpoint
+    st = wav_sample_stats(blob(1, 8, bytes([1, 200, 3, 250])))
+    s = np.array([1, 200, 3, 250], dtype=np.int64) - 128
+    assert st["wav_rms"] == float(np.sqrt((s * s).sum() / 4.0))
+    assert st["wav_zero_crossings"] == 3
+    # 24-bit PCM -> unsupported bit depth
+    assert wav_sample_stats(blob(1, 24, b"\x00" * 6)) is None
+    # IEEE-float codec -> unsupported codec regardless of depth
+    assert wav_sample_stats(blob(3, 32, b"\x00" * 8)) is None
 
 
 def test_mp4_box_walk_edge_cases():
@@ -356,29 +409,56 @@ def test_ivf_cells_degrade_bad_embeddings(spark):
 
 def test_decode_status_per_reason(spark):
     """decode_status says WHY a payload decode produced stats or didn't:
-    'ok' for the 64 valid blobs; the 16 edge blobs (ids 64-79) each
-    report their specific unsupported/malformed reason while header
-    fields that DO parse (paletted-PNG dims, 8-bit-WAV rates, mdat-less
-    MP4 dims) stay populated."""
+    'ok' for the 64 valid blobs; the 16 edge blobs (ids 64-79, cycling
+    id % 8) split into two DECODED classes (paletted PNG, 8-bit WAV —
+    stats checked against the closed forms) and six specific
+    unsupported/malformed reasons whose still-parseable header fields
+    stay populated."""
+    import math
+
     from joern_spark.pipeline.multimodal import (
-        extract_media_features, synthetic_media,
+        extract_media_features, png_pixel_value, synthetic_media,
     )
 
     feats = {r.media_id: r for r in extract_media_features(
         synthetic_media(spark, 64, n_edge=16)).collect()}
     assert len(feats) == 80
     assert all(feats[i].decode_status == "ok" for i in range(64))
-    expect = {0: "png_unsupported_mode", 1: "wav_unsupported_bits",
-              2: "mp4_no_mdat", 3: "unknown_format"}
+    expect = {0: "ok", 1: "ok", 2: "mp4_no_mdat", 3: "unknown_format",
+              4: "png_unsupported_mode", 5: "wav_unsupported_codec",
+              6: "wav_unsupported_bits", 7: "mp4_malformed"}
     for mid in range(64, 80):
         r = feats[mid]
-        assert r.decode_status == expect[mid % 4], (mid, r.decode_status)
-        # header-only fields still parse where the format carries them
-        if mid % 4 == 0:
-            assert r.width == 16 + (mid % 32) * 4 and r.mean_r is None
-        elif mid % 4 == 1:
-            assert r.sample_rate == 8000 * (1 + mid % 5) and r.wav_rms is None
-        elif mid % 4 == 2:
+        assert r.decode_status == expect[mid % 8], (mid, r.decode_status)
+        if mid % 8 == 0:
+            # paletted decode == closed-form palette gradient
+            w, h = 16 + (mid % 32) * 4, 16 + ((mid * 7) % 32) * 4
+            assert r.width == w and r.height == h
+            exp_r = sum((((x * 3 + y * 7 + mid) % 64) * 5 + mid) % 256
+                        for x in range(w) for y in range(h)) / (w * h)
+            assert math.isclose(r.mean_r, exp_r, rel_tol=1e-12)
+            assert r.pixel_entropy is not None
+        elif mid % 8 == 1:
+            # 8-bit PCM decode: s = byte - 128 over the md5 payload
+            import hashlib
+            payload = hashlib.md5(str(mid).encode()).digest() * (1 + mid % 7)
+            s = [b - 128 for b in payload]
+            exp_rms = math.sqrt(sum(v * v for v in s) / len(s))
+            assert math.isclose(r.wav_rms, exp_rms, rel_tol=1e-12)
+            exp_zc = sum((a < 0) != (b < 0) for a, b in zip(s, s[1:]))
+            assert r.wav_zero_crossings == exp_zc
+            assert r.sample_rate == 8000 * (1 + mid % 5)
+        elif mid % 8 == 2:
             assert r.width == 320 + (mid % 8) * 16 and r.mp4_mdat_bytes is None
-        else:
+        elif mid % 8 == 3:
             assert r.width is None and r.n_channels is None
+        elif mid % 8 == 4:
+            # 16-bit header still yields dims, no pixel stats
+            assert r.width == 16 + (mid % 32) * 4 and r.mean_r is None
+        elif mid % 8 in (5, 6):
+            assert r.sample_rate == 8000 * (1 + mid % 5) and r.wav_rms is None
+        else:
+            # truncated MP4: tkhd dims parse, payload stats refused
+            assert r.width == 320 + (mid % 8) * 16 and r.mp4_byte_mean is None
+    # the closed-form helper stays in sync with the RGB generator too
+    assert png_pixel_value(1, 2, 0, 3) == (1 * 3 + 2 * 7 + 3) % 256
