@@ -251,6 +251,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data cleaning pipeline (C4/Gopher order):
+    en-only + quality floor + token band, exact dedup (min doc_id per
+    md5) and near-dup collapse (min doc_id per LSH connected
+    component), end to end over the documents table.  Oracle: DuckDB
+    recomputes the identical survivor set — the recursive-CTE closure
+    for the components, a window-min for the exact stage, and the
+    integer-unit quality/lang formulas shared with doc_quality /
+    doc_lang_id."""
+    from joern_spark.pipeline.clean import corpus_clean as _clean
+
+    return _clean(load_table(spark, sf_dir, "documents"))
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup: docs / tokens / subword-estimate
+    totals per (pred_lang, quality decile) — the reporting aggregate of
+    a corpus build.  Pure column math + one small-key groupBy."""
+    from joern_spark.pipeline.clean import corpus_stats as _stats
+
+    return _stats(load_table(spark, sf_dir, "documents"))
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH candidate pairs (iterative-join
     propagate + pointer-jump, O(log n) rounds) — pairs (a,b),(b,c)
@@ -509,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ann_ivf": sim_ann_ivf,
         "dedup_clusters": dedup_clusters,
+        "corpus_clean": corpus_clean,
+        "corpus_stats": corpus_stats,
         "media_features": media_features,
         "cpg_node_stats": cpg_node_stats,
         "cpg_build_flows": cpg_build_flows,
@@ -1069,6 +1094,87 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, least(a, min(b)) AS cluster_id
             FROM reach GROUP BY a
+        """,
+        # The composite cleaning pipeline: same banding+closure CTEs as
+        # dedup_clusters, a window-min for the exact stage, and the
+        # doc_quality / doc_lang_id integer formulas — DuckDB recomputes
+        # the survivor set end-to-end.
+        "corpus_clean": _BANDS_CTE.replace(
+            "\nWITH sh AS", "\nWITH RECURSIVE sh AS") + f"""
+            , edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM cand
+              UNION
+              SELECT doc_b, doc_a FROM cand
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            clus AS (
+              SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+              FROM reach GROUP BY a
+            ),
+            feat AS (
+              SELECT doc_id,
+                     len({_TOKS}) AS n_tokens,
+                     len(list_filter({_TOKS},
+                        x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS stop_hits,
+                     len(list_intersect({_TOKS}, ['the','a','of','and','to','in','is','it'])) AS en_hits,
+                     len(list_intersect({_TOKS}, ['el','la','de','que','y','en','un','es'])) AS es_hits,
+                     len(list_intersect({_TOKS}, ['der','die','das','und','zu','ist','ein','nicht'])) AS de_hits,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS exact_keep
+              FROM documents
+            ),
+            scored AS (
+              SELECT doc_id, n_tokens, exact_keep,
+                     CAST(floor(CASE WHEN n_tokens < 5 THEN 0.0
+                          ELSE least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / n_tokens)
+                          END * 1e6) AS BIGINT) AS quality_micro,
+                     CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                          WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                          WHEN de_hits > 0 THEN 'de'
+                          ELSE 'unknown' END AS pred_lang
+              FROM feat
+            )
+            SELECT s.doc_id, s.pred_lang, s.n_tokens, s.quality_micro
+            FROM scored s
+            WHERE s.pred_lang = 'en'
+              AND s.quality_micro >= 200000
+              AND s.n_tokens BETWEEN 15 AND 95
+              AND s.doc_id = s.exact_keep
+              AND NOT EXISTS (SELECT 1 FROM clus c
+                              WHERE c.doc_id = s.doc_id
+                                AND c.cluster_id != c.doc_id)
+        """,
+        "corpus_stats": f"""
+            WITH t AS (
+              SELECT len({_TOKS}) AS n_tokens,
+                     CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est,
+                     len(list_filter({_TOKS},
+                        x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS stop_hits,
+                     len(list_intersect({_TOKS}, ['the','a','of','and','to','in','is','it'])) AS en_hits,
+                     len(list_intersect({_TOKS}, ['el','la','de','que','y','en','un','es'])) AS es_hits,
+                     len(list_intersect({_TOKS}, ['der','die','das','und','zu','ist','ein','nicht'])) AS de_hits
+              FROM documents
+            ),
+            s AS (
+              SELECT CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                          WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                          WHEN de_hits > 0 THEN 'de'
+                          ELSE 'unknown' END AS pred_lang,
+                     CAST(floor(
+                       CAST(floor(CASE WHEN n_tokens < 5 THEN 0.0
+                            ELSE least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / n_tokens)
+                            END * 1e6) AS BIGINT) / 100000.0) AS BIGINT) AS quality_decile,
+                     n_tokens, n_subword_est
+              FROM t
+            )
+            SELECT pred_lang, quality_decile,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_subword_est) AS BIGINT) AS total_subword_est
+            FROM s GROUP BY pred_lang, quality_decile
         """,
         # media_features oracle: the synthetic blobs carry REAL format
         # headers whose fields are pure arithmetic on media_id

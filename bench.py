@@ -44,6 +44,8 @@ DEFAULT_BENCH = [
     "sim_ann_lsh",
     "sim_ann_ivf",
     "dedup_clusters",
+    "corpus_clean",   # composite filter→exact-dedup→near-dup-collapse pipeline
+    "corpus_stats",   # (lang, quality-decile) rollup
     "media_features",
     "customers_without_orders",
     "part_types_with_sales",
@@ -106,6 +108,10 @@ def main() -> None:
             dt = time.perf_counter() - t0
             samples[name].append(dt)
             sweep += dt
+            # some queries (dedup_clusters, corpus_clean) return their
+            # result persisted and caller-owned — release between sweeps
+            # (no-op for unpersisted frames, untimed either way)
+            df.unpersist(blocking=False)
         rep_totals.append(round(sweep, 3))
     timings = {n: round(min(s), 3) for n, s in samples.items()}
     spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}

@@ -44,6 +44,22 @@ def _count_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
 
 
+def pred_lang_col(text_col: str = "text") -> Column:
+    """The lang_id prediction as a single reusable Column (same formula
+    as `lang_id` — composite pipelines fold it into one projection
+    instead of paying a doc_id join against the lang_id frame)."""
+    toks = tokens(F.col(text_col))
+    en = _count_hits(toks, EN_STOPWORDS)
+    es = _count_hits(toks, ES_STOPWORDS)
+    de = _count_hits(toks, DE_STOPWORDS)
+    return (
+        F.when((en >= es) & (en >= de) & (en > 0), F.lit("en"))
+        .when((es >= de) & (es > 0), F.lit("es"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword-heuristic language ID.
 
@@ -68,6 +84,20 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         de.alias("de_hits"),
         pred.alias("pred_lang"),
     )
+
+
+def quality_micro_col(text_col: str = "text") -> Column:
+    """The quality score (integer micro-units) as a single reusable
+    Column — identical formula to `quality_score`'s quality_micro."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    return F.floor(
+        F.when(n_tok < 5, F.lit(0.0)).otherwise(
+            F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (F.lit(1.0) - stop_hits / n_tok)
+        )
+        * 1e6
+    ).cast("long")
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -235,3 +235,104 @@ class Derived extends Base { }
     member_names = {r.name for r in base.members().df()
                     .select("name").collect()}
     assert "x" in member_names
+
+
+# ---------------------------------------------------------------------------
+# corpus_clean / corpus_stats — the composite cleaning pipeline
+# ---------------------------------------------------------------------------
+
+_CLEAN_BASE = (
+    "the quick brown fox jumps over a lazy dog of winter "
+    "and every morning it runs to the river in silence "
+    "carrying nothing but the wind of autumn leaves behind "
+    "a stone bridge where travelers rest and watch water flow"
+)
+
+
+def _clean_fixture(spark):
+    """9 docs exercising every drop reason exactly once:
+
+    0      survives (representative of the {0,1,2,3} family)
+    1      exact duplicate of 0            -> exact-dedup drop
+    2, 3   near-dups of 0 (LSH component)  -> cluster drop
+    4      96 tokens (over max_tokens=95)  -> band drop; rep of {4,5}
+    5      94-token near-dup of 4, passes EVERY per-doc gate, but its
+           family representative (4) was dropped -> whole family dies
+    6      Spanish                         -> language drop
+    7      3 tokens                        -> min_tokens drop
+    8      en, 20 tokens, 1 stopword: quality 190000 < 200000 floor
+    """
+    long94 = "the a " + " ".join(f"w{i}" for i in range(92))
+    long96 = "the a " + " ".join(f"w{i}" for i in range(94))
+    lowq = "the " + " ".join(f"v{i}" for i in range(19))
+    return spark.createDataFrame(
+        [
+            (0, _CLEAN_BASE + " unique ending zero"),
+            (1, _CLEAN_BASE + " unique ending zero"),
+            (2, _CLEAN_BASE + " unique ending two"),
+            (3, _CLEAN_BASE + " unique ending three"),
+            (4, long96),
+            (5, long94),
+            (6, "el la de que y en un es el la de que y en un es "
+                "el la de que y en un es"),
+            (7, "the short one"),
+            (8, lowq),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_corpus_clean_every_drop_reason(spark):
+    from joern_spark.pipeline.clean import corpus_clean
+    from joern_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signature
+
+    docs = _clean_fixture(spark)
+    # precondition: the LSH stage really pairs the two families (the
+    # cluster-drop assertions below are vacuous otherwise)
+    pairs = {(r.doc_a, r.doc_b)
+             for r in lsh_candidate_pairs(minhash_signature(docs)).collect()}
+    assert {(0, 1), (0, 2), (0, 3), (4, 5)} <= pairs
+
+    out = corpus_clean(docs)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert sorted(rows) == [0], f"survivors {sorted(rows)}"
+    assert rows[0].pred_lang == "en"
+    assert rows[0].n_tokens == 43
+    assert rows[0].quality_micro == 310000
+    out.unpersist()
+
+
+def test_corpus_clean_family_dies_with_representative(spark):
+    """Doc 5 passes every per-document gate (en, 94 tokens, quality
+    919999) — it is dropped ONLY because the min-doc_id representative
+    of its near-dup component (doc 4, 96 tokens) failed the token band.
+    Global representative choice must win over per-doc filters."""
+    from joern_spark.pipeline.clean import corpus_clean
+    from joern_spark.pipeline.text import pred_lang_col, quality_micro_col, tokens
+
+    docs = _clean_fixture(spark)
+    d5 = docs.where(F.col("doc_id") == 5).select(
+        F.size(tokens(F.col("text"))).alias("nt"),
+        quality_micro_col().alias("q"),
+        pred_lang_col().alias("lang"),
+    ).collect()[0]
+    assert (d5.nt, d5.lang) == (94, "en") and d5.q >= 200000
+
+    out = corpus_clean(docs)
+    assert 5 not in {r.doc_id for r in out.collect()}
+    out.unpersist()
+
+
+def test_corpus_stats_rollup(spark):
+    from joern_spark.pipeline.clean import corpus_stats
+
+    got = {(r.pred_lang, r.quality_decile): (r.n_docs, r.total_tokens,
+                                             r.total_subword_est)
+           for r in corpus_stats(_clean_fixture(spark)).collect()}
+    # deciles: floor(quality_micro / 100000) from the fixture table
+    assert got[("en", 3)][:2] == (4, 4 * 43)   # docs 0-3 (quality 310000)
+    assert got[("en", 9)][:2] == (2, 96 + 94)  # docs 4 and 5
+    assert got[("es", 2)][0] == 1              # doc 6
+    assert got[("en", 0)][0] == 1              # doc 7 (quality 0)
+    assert got[("en", 1)][0] == 1              # doc 8 (quality 190000)
+    assert sum(v[0] for v in got.values()) == 9
