@@ -552,13 +552,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 _MINHASH_CTE = f"""
-WITH sh AS (
+-- tok/sh are MATERIALIZED: DuckDB inlines plain CTEs, and a token-array
+-- reference inside the per-element shingle lambda re-evaluates the regexp
+-- split per ELEMENT (quadratic per row — 91s for the shingle stage alone at
+-- sf1 vs 1.1s materialized); cand is MATERIALIZED because the closure
+-- oracles reference it twice (edges UNION) and jaccard joins it twice.
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, trim(text) AS t, {_TOKS} AS toks FROM documents
+),
+sh AS MATERIALIZED (
   SELECT doc_id,
-         CASE WHEN len({_TOKS}) >= 3 THEN
-           list_transform(range(1, len({_TOKS}) - 1),
-             i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])
-         ELSE [substr(trim(text), 1, 1000)] END AS shingles
-  FROM documents
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [substr(t, 1, 1000)] END AS shingles
+  FROM tok
 ),
 hpair AS (
   SELECT doc_id,
@@ -584,7 +592,7 @@ bands AS (
              sig[b.band_idx*4 + 3] || '|' || sig[b.band_idx*4 + 4]) AS band_hash
   FROM sig, range(0, 4) AS b(band_idx)
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
   FROM bands a JOIN bands b2
     ON a.band_idx = b2.band_idx AND a.band_hash = b2.band_hash
@@ -776,14 +784,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": _BANDS_CTE + """
             SELECT doc_a, doc_b FROM cand
         """,
-        "dedup_ngram_jaccard": _BANDS_CTE + f"""
-            , shd AS (
-              SELECT doc_id,
-                CASE WHEN len({_TOKS}) >= 3 THEN
-                  list_distinct(list_transform(range(1, len({_TOKS}) - 1),
-                    i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))
-                ELSE [substr(trim(text), 1, 1000)] END AS sh
-              FROM documents
+        "dedup_ngram_jaccard": _BANDS_CTE + """
+            , shd AS MATERIALIZED (
+              SELECT doc_id, list_distinct(shingles) AS sh FROM sh
             )
             SELECT c.doc_a, c.doc_b,
                    CAST(floor(
@@ -1081,7 +1084,7 @@ def oracle_sql() -> dict[str, str]:
         # of the Spark side's min-label-propagation loop); cluster id =
         # min doc_id of the component.
         "dedup_clusters": _BANDS_CTE.replace(
-            "\nWITH sh AS", "\nWITH RECURSIVE sh AS") + """
+            "\nWITH tok AS", "\nWITH RECURSIVE tok AS") + """
             , edges AS (
               SELECT doc_a AS a, doc_b AS b FROM cand
               UNION
@@ -1100,7 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         # doc_quality / doc_lang_id integer formulas — DuckDB recomputes
         # the survivor set end-to-end.
         "corpus_clean": _BANDS_CTE.replace(
-            "\nWITH sh AS", "\nWITH RECURSIVE sh AS") + f"""
+            "\nWITH tok AS", "\nWITH RECURSIVE tok AS") + f"""
             , edges AS (
               SELECT doc_a AS a, doc_b AS b FROM cand
               UNION

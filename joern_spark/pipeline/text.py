@@ -71,18 +71,13 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     en = _count_hits(toks, EN_STOPWORDS)
     es = _count_hits(toks, ES_STOPWORDS)
     de = _count_hits(toks, DE_STOPWORDS)
-    pred = (
-        F.when((en >= es) & (en >= de) & (en > 0), F.lit("en"))
-        .when((es >= de) & (es > 0), F.lit("es"))
-        .when(de > 0, F.lit("de"))
-        .otherwise(F.lit("unknown"))
-    )
     return df.select(
         "doc_id",
         en.alias("en_hits"),
         es.alias("es_hits"),
         de.alias("de_hits"),
-        pred.alias("pred_lang"),
+        # one formula per metric: the prediction column IS pred_lang_col
+        pred_lang_col(text_col).alias("pred_lang"),
     )
 
 
@@ -116,12 +111,8 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     # any engine, no rounding-mode ambiguity for the oracle compare.
     mean_tok_len = F.floor((n_chars - (n_tok - F.lit(1))) / n_tok * 1e6).cast("long")
     stop_ratio = F.floor(stop_hits / n_tok * 1e6).cast("long")
-    score = F.floor(
-        F.when(n_tok < 5, F.lit(0.0)).otherwise(
-            F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (F.lit(1.0) - stop_hits / n_tok)
-        )
-        * 1e6
-    ).cast("long")
+    # one formula per metric: the composite score column IS quality_micro_col
+    score = quality_micro_col(text_col)
     return df.select(
         "doc_id",
         n_tok.alias("n_tokens"),
