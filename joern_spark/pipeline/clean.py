@@ -40,6 +40,7 @@ def corpus_clean(
     min_tokens: int = 15,
     max_tokens: int = 95,
     text_col: str = "text",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: (doc_id, pred_lang, n_tokens,
     quality_micro) for every surviving document.
@@ -49,6 +50,15 @@ def corpus_clean(
     and its near-dup connected component.  All thresholds are integer
     comparisons (micro-unit quality), so the survivor set is
     engine-portable bit-for-bit.
+
+    `clusters` optionally supplies a precomputed (doc_id, cluster_id)
+    frame (the `connected_dup_clusters` output shape).  At 100 TB the
+    minhash→LSH→CC chain is the dominant cost of this pipeline and a
+    real corpus build computes it ONCE and feeds it to every consumer;
+    with `clusters` given, corpus_clean costs one projection + a window
+    + an anti-join, and the caller keeps ownership of the frame (it is
+    not unpersisted here).  Default (None) recomputes the chain
+    end-to-end, matching the oracle.
     """
     toks = text.tokens(F.col(text_col))
     feats = docs.select(
@@ -61,8 +71,11 @@ def corpus_clean(
     exact_min = F.min("doc_id").over(Window.partitionBy("content_hash"))
     feats = feats.withColumn("exact_keep", exact_min)
 
-    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signature(docs, text_col))
-    clusters = dedup.connected_dup_clusters(pairs)  # persisted, caller-owned
+    own_clusters = clusters is None
+    if own_clusters:
+        pairs = dedup.lsh_candidate_pairs(
+            dedup.minhash_signature(docs, text_col))
+        clusters = dedup.connected_dup_clusters(pairs)  # persisted, ours
     near_dropped = (clusters.where(F.col("doc_id") != F.col("cluster_id"))
                     .select("doc_id"))
 
@@ -76,12 +89,14 @@ def corpus_clean(
         .join(near_dropped, "doc_id", "left_anti")
         .select("doc_id", "pred_lang", "n_tokens", "quality_micro")
     )
-    # connected_dup_clusters returns its frame persisted and
-    # caller-owned — materialize the survivor set, then release the
-    # upstream cache so repeated calls hold ONE cached frame.
+    # When we built the clusters ourselves, connected_dup_clusters hands
+    # back a persisted frame — materialize the survivor set, then
+    # release that upstream cache so repeated calls hold ONE cached
+    # frame.  A caller-supplied `clusters` frame stays caller-owned.
     out = kept.persist()
     out.count()
-    clusters.unpersist(blocking=False)
+    if own_clusters:
+        clusters.unpersist(blocking=False)
     return out
 
 

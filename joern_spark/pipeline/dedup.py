@@ -367,7 +367,12 @@ def connected_dup_clusters(pairs: DataFrame,
                                    | (F.col("m_label") < F.col("label")))
                                   .alias("chg"))
                           .localCheckpoint(eager=True))
-            pinned.append(new_labels)
+            # NOT added to `pinned`: Dataset.unpersist routes through the
+            # CacheManager, which does not track RDD-level localCheckpoint
+            # storage — calling it on these frames is a no-op.  Their
+            # blocks are reclaimed by the ContextCleaner once the frame
+            # (and the result built on it) is garbage-collected; each
+            # round holds at most two checkpointed label generations.
             changed = new_labels.where(F.col("chg")).count()
             prop.unpersist(blocking=False)
             labels = new_labels

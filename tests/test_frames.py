@@ -323,6 +323,30 @@ def test_corpus_clean_family_dies_with_representative(spark):
     out.unpersist()
 
 
+def test_corpus_clean_precomputed_clusters(spark):
+    """Feeding `connected_dup_clusters` output in as `clusters` must
+    (a) give the identical survivor set to the recompute-everything
+    default, and (b) leave the caller-owned frame cached — at 100 TB the
+    pair-detection chain is computed once and shared across consumers."""
+    from joern_spark.pipeline.clean import corpus_clean
+    from joern_spark.pipeline.dedup import (
+        connected_dup_clusters, lsh_candidate_pairs, minhash_signature)
+
+    docs = _clean_fixture(spark)
+    clusters = connected_dup_clusters(
+        lsh_candidate_pairs(minhash_signature(docs)))
+    out_pre = corpus_clean(docs, clusters=clusters)
+    out_dft = corpus_clean(docs)
+    pre = sorted(tuple(r) for r in out_pre.collect())
+    dft = sorted(tuple(r) for r in out_dft.collect())
+    assert pre == dft and [t[0] for t in pre] == [0]
+    assert clusters.storageLevel.useMemory, (
+        "caller-supplied clusters frame must stay caller-owned (cached)")
+    clusters.unpersist()
+    out_pre.unpersist()
+    out_dft.unpersist()
+
+
 def test_corpus_stats_rollup(spark):
     from joern_spark.pipeline.clean import corpus_stats
 

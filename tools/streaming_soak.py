@@ -64,6 +64,12 @@ def write_chunk(spark, pages_dir: str, lo: int, hi: int, files: int = 1,
 
     hot_mod = int(hot_frac * 100)
     media_mod = int(media_frac * 100)
+    if media_frac > 0 and media_mod == 0:
+        # the whole-percent quantization would silently write ZERO blobs
+        # while the harness still runs the media stream and reports a
+        # vacuously matching empty golden
+        raise ValueError(
+            f"media_frac={media_frac} quantizes to 0% — use >= 0.01")
     schema = job.MEDIA_PAGE_SCHEMA if media_mod else PAGE_SCHEMA
 
     def gen(batches):
