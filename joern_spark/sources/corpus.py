@@ -47,15 +47,24 @@ def snippet_id_for(i: int) -> str:
     return SNIPPET_IDS[i % len(SNIPPET_IDS)]
 
 
-def page_for(i: int, seed: int = 42, late_fraction: float = 0.1):
+def page_for(i: int, seed: int = 42, late_fraction: float = 0.1,
+             extra_js: str | None = None):
     """Deterministic page row for index i (pure function).  `text` is the
-    GOLDEN extracted script text (byte-identity check target)."""
+    GOLDEN extracted script text (byte-identity check target).
+
+    `extra_js` appends a statement to the embedded snippet BEFORE html
+    assembly, so html and extracted text stay byte-consistent — the
+    near-dup injection hook (a page whose snippet carries a unique extra
+    statement is a NEAR duplicate of its base-snippet family: most
+    3-token shingles shared, some not)."""
     from joern_spark.extract import extract_script_text
 
     h = int.from_bytes(hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "big")
     domain = DOMAINS[h % len(DOMAINS)]
     url = f"https://{domain}/page-{i}"
     snippet = SNIPPETS[snippet_id_for(i)]
+    if extra_js:
+        snippet = f"{snippet}\n{extra_js}"
     html = f"<html><head><title>p{i}</title></head><body><script>{snippet}\n</script></body></html>"
     # event time: monotone base + jitter; a fraction arrives out-of-order/late
     ts = BASE_EPOCH + i * 7 + (h % 5)

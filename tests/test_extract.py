@@ -69,6 +69,21 @@ def test_corpus_golden_text_matches_extractor():
         assert extract_script_text(html.decode()) == text
 
 
+def test_page_for_extra_js_stays_byte_consistent():
+    """The near-dup injection hook appends into the snippet BEFORE html
+    assembly, so html and extracted text remain byte-consistent and the
+    page is a NEAR (not exact) duplicate of its base family."""
+    for i in (0, 7, 33):
+        url, ts, html, text = page_for(i, extra_js=f"var uniq_{i} = {i};")
+        assert extract_script_text(html.decode()) == text
+        assert f"uniq_{i}" in text
+        base_text = page_for(i)[3]
+        assert text != base_text
+        # the shared snippet body is a common prefix (near-dup, not
+        # disjoint): strip the blanked-gap padding and compare
+        assert text.strip().startswith(base_text.strip())
+
+
 def test_multi_script_page_builds_one_program():
     """Two <script> blocks on one page → one length-preserving text → one
     CPG whose :program carries both scripts' functions (the reference

@@ -47,7 +47,8 @@ from joern_spark.streaming.merge import compact_findings  # noqa: E402
 
 
 def write_chunk(spark, pages_dir: str, lo: int, hi: int, files: int = 1,
-                hot_frac: float = 0.0, media_frac: float = 0.0):
+                hot_frac: float = 0.0, media_frac: float = 0.0,
+                neardup_frac: float = 0.0):
     """Append pages [lo, hi) as `files` parquet files (micro-batch units).
 
     One file per chunk by default: the file stream source orders files by
@@ -64,12 +65,16 @@ def write_chunk(spark, pages_dir: str, lo: int, hi: int, files: int = 1,
 
     hot_mod = int(hot_frac * 100)
     media_mod = int(media_frac * 100)
+    neardup_mod = int(neardup_frac * 100)
     if media_frac > 0 and media_mod == 0:
         # the whole-percent quantization would silently write ZERO blobs
         # while the harness still runs the media stream and reports a
         # vacuously matching empty golden
         raise ValueError(
             f"media_frac={media_frac} quantizes to 0% — use >= 0.01")
+    if neardup_frac > 0 and neardup_mod == 0:
+        raise ValueError(
+            f"neardup_frac={neardup_frac} quantizes to 0% — use >= 0.01")
     schema = job.MEDIA_PAGE_SCHEMA if media_mod else PAGE_SCHEMA
 
     def gen(batches):
@@ -77,7 +82,12 @@ def write_chunk(spark, pages_dir: str, lo: int, hi: int, files: int = 1,
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                url, ts, html, text = page_for(i)
+                # near-dup injection: a unique extra statement makes the
+                # page a NEAR (not exact) duplicate of its base-snippet
+                # family — html and extracted text stay byte-consistent
+                extra = (f"var uniq_{i} = {i};"
+                         if neardup_mod and i % 100 < neardup_mod else None)
+                url, ts, html, text = page_for(i, extra_js=extra)
                 if hot_mod and i % 100 < hot_mod:
                     # hot-domain injection: deterministic reassignment of a
                     # fraction of pages to ONE netloc (urls stay unique)
@@ -138,6 +148,74 @@ def task_time_ratios(spark, min_tasks: int = 16, min_median_ms: float = 50.0):
     }
 
 
+def neardup_prefix_sim(batches, horizon_ms: int, delay_ms: int):
+    """Pure-Python prefix simulation of streaming/neardup.py over the
+    OBSERVED batch partition — the exact golden for the near-dup stream.
+
+    `batches`: [(batch_id, [(ts_ms, url, [(band_idx, band_hash), ...])])]
+    sorted by batch_id.  Semantics mirrored from the stateful operator +
+    Spark's event-time-timeout contract:
+
+    - `batches` must include EMPTY batches (no data rows): Spark runs
+      them at restarts / availableNow termination precisely to fire
+      event-time timeouts, and they are observable as `epoch=<id>`
+      directories in the sink — the calibration run's single survivor
+      mismatch was an owner evicted by the empty batch between two kill
+      phases;
+    - watermark for eviction at batch k = max event time through batch
+      k-1 minus the watermark delay (monotone, 0 before any data);
+    - a bucket WITH data in a batch keeps its stored owner (expired or
+      not — Spark only invokes hasTimedOut for groups WITHOUT data in
+      the trigger);
+    - after the data groups, every stateful bucket with NO data in this
+      batch and timeout < wm(k) is evicted;
+    - on touch the timeout re-arms to
+      max(max(owner_ts, last_event), wm) + horizon  (operator line
+      `state.setTimeoutTimestamp`), all in ms;
+    - inside a batch the owner of a fresh bucket is the (ts, url)-min
+      row; every row of a different url than the owner collides;
+    - a page survives iff NO band bucket collided.
+
+    Returns (survivors: {url: bool}, live_buckets_at_end: int).
+    """
+    owners = {}  # bucket -> [owner_url, owner_ts_ms, timeout_ms]
+    survivors = {}
+    max_ev = None
+    wm = 0
+    for _bid, rows in batches:
+        new_wm = 0 if max_ev is None else max(0, max_ev - delay_ms)
+        wm = max(wm, new_wm)
+        buckets = {}
+        for ts, url, bands in rows:
+            for bkey in bands:
+                buckets.setdefault(bkey, []).append((ts, url))
+        collided = {url: False for _ts, url, _b in rows}
+        for bkey, items in buckets.items():
+            items.sort()
+            st = owners.get(bkey)
+            if st is None:
+                st = [items[0][1], items[0][0], 0]
+            owner_url, owner_ts = st[0], st[1]
+            last_ev = items[-1][0]
+            st[2] = max(max(owner_ts, last_ev), wm) + horizon_ms
+            owners[bkey] = st
+            for _ts, url in items:
+                if url != owner_url:
+                    collided[url] = True
+        # timed-out no-data groups are processed after the data groups
+        for bkey in [b for b, st in owners.items()
+                     if b not in buckets and st[2] < wm]:
+            del owners[bkey]
+        for _ts, url, _b in rows:
+            survivors[url] = not collided[url]
+        batch_max = max((ts for ts, _u, _b in rows), default=None)
+        if batch_max is not None:
+            max_ev = batch_max if max_ev is None else max(max_ev, batch_max)
+    final_wm = 0 if max_ev is None else max(0, max_ev - delay_ms)
+    live = sum(1 for st in owners.values() if st[2] >= final_wm)
+    return survivors, live
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=262144)
@@ -152,6 +230,13 @@ def main():
                          "(PNG/WAV/MP4 + unsupported edge classes); >0 "
                          "also runs the media-decode stream and adds its "
                          "per-window per-status golden")
+    ap.add_argument("--neardup-frac", type=float, default=0.0,
+                    help="fraction of pages carrying a unique extra JS "
+                         "statement (NEAR duplicates of their snippet "
+                         "family); >0 also runs the streaming near-dup "
+                         "suppression stream and verifies its survivor "
+                         "set EXACTLY against a pure-Python prefix "
+                         "simulation over the observed batch partition")
     ap.add_argument("--out", default="/tmp/soak")
     args = ap.parse_args()
 
@@ -186,7 +271,8 @@ def main():
         for _ in range(n_chunks):
             write_chunk(spark, pages_dir, written, written + per_chunk,
                         files=files_per, hot_frac=args.hot_frac,
-                        media_frac=args.media_frac)
+                        media_frac=args.media_frac,
+                        neardup_frac=args.neardup_frac)
             written += per_chunk
 
         q = job.run_stream(spark, pages_dir, out_dir, cp_dir,
@@ -210,6 +296,16 @@ def main():
                 spark, pages_dir, f"{base}/media_out", f"{base}/media_cp",
                 available_now=True, files_per_trigger=files_per)
             qm.awaitTermination(1800)
+        if args.neardup_frac > 0:
+            # the custom stateful operator surface: first-owner-wins LSH
+            # band buckets (RocksDB state, event-time age-out) under the
+            # same phase/kill cadence
+            from joern_spark.streaming import neardup as _nd
+            qn = _nd.run_near_dup_stream(
+                spark, pages_dir, f"{base}/neardup_out",
+                f"{base}/neardup_cp", available_now=True,
+                files_per_trigger=files_per)
+            qn.awaitTermination(1800)
         phases.append({
             "phase": phase,
             "docs_total": written,
@@ -278,6 +374,62 @@ def main():
             "n_media_rows": len(exp_media),
         }
 
+    nd = {}
+    if args.neardup_frac > 0:
+        # golden: pure-Python prefix simulation of the stateful operator
+        # over the OBSERVED batch partition (batch boundaries are an
+        # arrival-order fact read back from the epoch sink's lineage
+        # column; the ownership/timeout semantics are recomputed
+        # independently — they are what is under test)
+        import calendar
+        from joern_spark.streaming import neardup as _nd
+
+        def ts_ms(dt) -> int:
+            return (calendar.timegm(dt.timetuple()) * 1000
+                    + dt.microsecond // 1000)
+
+        sink = spark.read.parquet(f"{base}/neardup_out/findings")
+        batch_of = {r.url: r.bid for r in
+                    sink.groupBy("url")
+                    .agg(F.min("batch_id").alias("bid")).collect()}
+        # EVERY batch id, including data-less ones (restart / termination
+        # batches fire event-time timeouts; each leaves an epoch dir)
+        all_bids = sorted(
+            int(name.split("=", 1)[1])
+            for name in os.listdir(f"{base}/neardup_out/findings")
+            if name.startswith("epoch="))
+        got_nd = {r.url: r.survivor
+                  for r in _nd.read_survivors(
+                      spark, f"{base}/neardup_out").collect()}
+
+        bands_by_url = {}
+        ts_by_url = {}
+        for r in _nd.page_band_rows(
+                spark.read.parquet(pages_dir)).collect():
+            bands_by_url.setdefault(r.url, []).append(
+                (r.band_idx, r.band_hash))
+            ts_by_url[r.url] = ts_ms(r.warc_ts)
+
+        by_batch = {bid: [] for bid in all_bids}
+        for url, bid in batch_of.items():
+            by_batch.setdefault(bid, []).append(
+                (ts_by_url[url], url, bands_by_url[url]))
+        horizon_ms = _nd._horizon_micros() // 1000
+        exp_nd, live_buckets = neardup_prefix_sim(
+            sorted(by_batch.items()), horizon_ms, horizon_ms)
+
+        n_mismatch = sum(1 for u in exp_nd if got_nd.get(u) != exp_nd[u])
+        nd = {
+            "neardup_frac": args.neardup_frac,
+            "n_pages": len(exp_nd),
+            "n_batches": len(by_batch),
+            "n_survivors": sum(1 for v in got_nd.values() if v),
+            "n_suppressed": sum(1 for v in got_nd.values() if not v),
+            "neardup_golden_match": (got_nd == exp_nd),
+            "n_mismatch": n_mismatch,
+            "live_buckets_at_end": live_buckets,
+        }
+
     skew = {}
     if args.hot_frac > 0:
         from pyspark.sql import functions as F
@@ -315,9 +467,11 @@ def main():
         "crosspage_errors": crosspage_errors,
         **({"skew": skew} if skew else {}),
         **({"media": media} if media else {}),
+        **({"neardup": nd} if nd else {}),
     }))
     if (not golden_ok or (skew and not skew["salted_golden_match"])
-            or (media and not media["media_golden_match"])):
+            or (media and not media["media_golden_match"])
+            or (nd and not nd["neardup_golden_match"])):
         raise SystemExit(1)
 
 
