@@ -45,6 +45,7 @@ DEFAULT_BENCH = [
     "sim_ann_ivf",
     "dedup_clusters",
     "corpus_clean",   # composite filter→exact-dedup→near-dup-collapse pipeline
+    "corpus_clean_shared",  # same, fed the precomputed cluster frame
     "corpus_stats",   # (lang, quality-decile) rollup
     "media_features",
     "customers_without_orders",
