@@ -445,7 +445,8 @@ def train_ivf_codebook(corpus: DataFrame, n_centroids: int = 16,
 
 def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  n_centroids: int = 16, n_probe: int = 4,
-                 train_iters: int = 2) -> DataFrame:
+                 train_iters: int = 2,
+                 codebook: tuple | None = None) -> DataFrame:
     """IVF-flat ANN: a coarse quantizer partitions the corpus into K
     cells; queries probe their n_probe nearest cells and score exactly
     only inside them — the inverted-file counterpart to the sign-LSH
@@ -461,9 +462,19 @@ def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cells) is broadcast, so the candidate join is map-side; exact cosine
     runs on candidates only.  At 10^12 vectors, K grows ~sqrt(N) and
     `cell` becomes the table's physical partition key, so a probe prunes
-    (K - n_probe)/K of the corpus at the SCAN."""
-    cent_ids, cent_mat = train_ivf_codebook(corpus, n_centroids,
-                                            n_iters=train_iters)
+    (K - n_probe)/K of the corpus at the SCAN.
+
+    `codebook` optionally supplies a pretrained (cent_ids, cent_mat)
+    pair (the `train_ivf_codebook` output) — the index-build seam: at
+    10^12 vectors the codebook is trained ONCE per corpus build (each
+    Lloyd step is a full corpus scan) and shared across every query
+    batch, the same compute-once contract as
+    `corpus_clean(clusters=...)`.  Default (None) trains in-call,
+    matching the SQL oracle end-to-end."""
+    if codebook is None:
+        codebook = train_ivf_codebook(corpus, n_centroids,
+                                      n_iters=train_iters)
+    cent_ids, cent_mat = codebook
 
     c = _ivf_cells(corpus, cent_ids, cent_mat, 1).select(
         F.col("vec_id").alias("nbr_id"),

@@ -125,6 +125,24 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.9, f"IVF recall@5 collapsed: {recall:.2f}"
 
 
+def test_ivf_pretrained_codebook_identical(spark):
+    """The index-build seam: ann_topk_ivf(codebook=...) with the
+    separately trained codebook returns row-identical results to the
+    train-in-call path — at 10^12 vectors the codebook is trained once
+    per corpus build and shared across every query batch (same
+    compute-once contract as corpus_clean(clusters=...))."""
+    from joern_spark.pipeline.similarity import ann_topk_ivf, train_ivf_codebook
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    cb = train_ivf_codebook(emb, n_centroids=16, n_iters=2)
+    shared = {tuple(r) for r in
+              ann_topk_ivf(emb, queries, k=5, codebook=cb).collect()}
+    recomputed = {tuple(r) for r in
+                  ann_topk_ivf(emb, queries, k=5).collect()}
+    assert shared == recomputed and len(shared) > 0
+
+
 def test_connected_dup_clusters_chain_merge(spark):
     """(a,b),(b,c) collapse into one cluster even though (a,c) never
     collided; disjoint pairs stay separate; cluster_id = component min."""
