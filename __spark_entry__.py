@@ -53,6 +53,10 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # NOTE (r8): an orders⋈broadcast(customer)-first reorder was tried and
+    # MEASURED 3x slower at sf1 (7.5s vs 2.3s — the joined oc side lost its
+    # broadcastability estimate and both exchanges came back plus a sort);
+    # the original order stays (see OPTIMIZATION_r08.md).
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -74,6 +78,13 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # NOTE (r8): a dims-first reorder (customer⋈nation⋈region, then orders,
+    # lineitem last — the q3 shape) removed both SortMergeJoin exchanges but
+    # CHANGED the partial-sum accumulation order of the double-typed
+    # revenue aggregate, flipping one group's round(sum*100) by one cent at
+    # sf1 against the oracle.  round-of-double-sum parity is plan-order
+    # lottery, so the verified original join order stays (left alone
+    # deliberately; see OPTIMIZATION_r08.md).
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -101,8 +112,15 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def part_types_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
+    # distinct the probe side's join key first: the semi-join then sees
+    # ~|distinct partkeys| rows instead of the 6M-row lineitem scan, the
+    # distinct's partial aggregation collapses the shuffle map-side, and
+    # AQE broadcast-joins the (now small) key set (guide §2.3 "aggregate
+    # before you shuffle"; before: SortMergeJoin LeftSemi shuffling all of
+    # lineitem AND part)
+    li_keys = li.select("l_partkey").distinct()
     return (
-        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        p.join(li_keys, p.p_partkey == li_keys.l_partkey, "left_semi")
         .groupBy("p_type")
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
@@ -314,19 +332,15 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine pairs over a deterministic 1-in-10 sample,
     thresholded — the exactness baseline for embedding near-dup."""
-    from joern_spark.pipeline.similarity import cos_pandas_udf
+    from joern_spark.pipeline.similarity import brute_pair_cosines
 
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    # Arrow-vectorized pair cosine (Catalyst lambda aggregates run
-    # interpreted — 66x slower at sf1 pair counts); math matches the
-    # SQL oracle bit-for-bit (sequential float64 fold, HALF_UP round)
-    cos = cos_pandas_udf()
-    return pairs.select(
-        "vec_a", "vec_b", cos("ea", "eb").alias("cosine")
-    ).where(F.col("cosine") >= 0.5)
+    # blocked all-pairs kernel (similarity.brute_pair_cosines): each vector
+    # ships G≈√(8·cores) times instead of once per pair — the theta-join +
+    # per-pair Arrow scoring serialized O(N²·dim) bytes through one task.
+    # Math is bit-identical to the previous per-pair kernel and the SQL
+    # oracle (sequential float64 fold, HALF_UP 6dp round, a<b once).
+    return brute_pair_cosines(emb, threshold=0.5)
 
 
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

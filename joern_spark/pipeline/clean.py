@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from joern_spark.pipeline import dedup, text
+from joern_spark.sparkutil import spread
 
 
 def corpus_clean(
@@ -60,6 +61,7 @@ def corpus_clean(
     not unpersisted here).  Default (None) recomputes the chain
     end-to-end, matching the oracle.
     """
+    docs = spread(docs, by="doc_id")
     toks = text.tokens(F.col(text_col))
     feats = docs.select(
         "doc_id",
@@ -109,7 +111,7 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     over the raw corpus so the rollup is an independent operator, not a
     derivative of the clean output).
     """
-    feats = docs.select(
+    feats = spread(docs, by="doc_id").select(
         text.pred_lang_col(text_col).alias("pred_lang"),
         F.floor(text.quality_micro_col(text_col) / F.lit(100000.0))
         .cast("long").alias("quality_decile"),

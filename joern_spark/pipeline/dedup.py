@@ -104,28 +104,47 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = N_H
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+    from joern_spark.sparkutil import spread
+
     p = MINHASH_PRIME
     seeds = np.arange(n_hashes, dtype=np.int64)
     out_schema = StructType([
         StructField("doc_id", LongType()),
         StructField("minhash", ArrayType(LongType())),
     ])
+    m60 = (1 << 60) - 1
 
     def run(batches):
         for pdf in batches:
+            # near-dup corpora repeat shingles heavily across documents —
+            # hash each distinct shingle ONCE per batch (task-local memo;
+            # never persisted across runs).  bytes→int is the same value
+            # as the old int(hexdigest[:15], 16) / int(hexdigest[15:30],
+            # 16) nibble slices: digest[:8]>>4 = first 60 bits,
+            # digest[7:15] & (2^60-1) = bits 60..119.
+            memo: dict[str, tuple[int, int]] = {}
             sigs = []
             for text in pdf[text_col]:
-                hexes = [hashlib.md5(s.encode("utf-8")).hexdigest()
-                         for s in _py_shingles(text)]
-                h1 = np.array([int(h[:15], 16) % p for h in hexes], dtype=np.int64)
-                h2 = np.array([int(h[15:30], 16) % (p - 1) + 1 for h in hexes],
-                              dtype=np.int64)
+                shs = _py_shingles(text)
+                n = len(shs)
+                h1 = np.empty(n, dtype=np.int64)
+                h2 = np.empty(n, dtype=np.int64)
+                for j, s in enumerate(shs):
+                    v = memo.get(s)
+                    if v is None:
+                        d = hashlib.md5(s.encode("utf-8")).digest()
+                        v = memo[s] = (
+                            (int.from_bytes(d[:8], "big") >> 4) % p,
+                            (int.from_bytes(d[7:15], "big") & m60) % (p - 1) + 1,
+                        )
+                    h1[j] = v[0]
+                    h2[j] = v[1]
                 # (n_shingles, n_hashes): h1 + i*h2 < 2^31 + 15*2^31 — exact in int64
                 sig = ((h1[:, None] + seeds[None, :] * h2[:, None]) % p).min(axis=0)
                 sigs.append(sig.tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "minhash": sigs})
 
-    return df.select("doc_id", text_col).mapInPandas(run, out_schema)
+    return spread(df.select("doc_id", text_col), by="doc_id").mapInPandas(run, out_schema)
 
 
 def lsh_candidate_pairs(
@@ -174,7 +193,18 @@ def lsh_candidate_pairs(
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (LSH output), via distinct
-    shingle sets.  Join order: pairs (small) broadcast against docs."""
+    shingle sets.  Join order: pairs (small) broadcast against docs.
+
+    Only CANDIDATE documents are shingled: a semi-join on the pair ids
+    prunes the corpus before the shingle projection (Catalyst's
+    higher-order `transform` lambda runs interpreted per element, so
+    shingling all of `df` cost more than the joins themselves — guide
+    §2.3 "project early": compute the expensive column after the
+    selective filter, and the equi-join shuffle carries shingle arrays
+    for |docs-in-any-pair| rows, not the corpus)."""
+    cand_ids = (pairs.selectExpr("stack(2, doc_a, doc_b) AS (doc_id)")
+                .distinct())
+    df = df.join(cand_ids, "doc_id", "left_semi")
     docs = shingled(df, text_col).select("doc_id", F.array_distinct("sh").alias("sh"))
     j = (
         pairs.join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -211,36 +241,54 @@ def simhash(df: DataFrame, text_col: str = "text", n_bits: int = 64) -> DataFram
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
 
+    from joern_spark.sparkutil import spread
+
     out_schema = StructType([
         StructField("doc_id", df.schema["doc_id"].dataType),
         StructField("simhash_bits", StringType()),
     ])
-    # hex char → 4 bits, MSB-first (bit bt reads nibble bt//4 >> (3-bt%4))
-    lut = np.zeros((128, 4), dtype=np.int64)
-    for c in "0123456789abcdef":
-        v = int(c, 16)
-        lut[ord(c)] = [(v >> 3) & 1, (v >> 2) & 1, (v >> 1) & 1, v & 1]
-
-    def bits_of(tok: str) -> "np.ndarray":
-        # first 16 hex chars (64 bits) of the digest, as in the SQL form
-        h = hashlib.md5(tok.encode("utf-8")).hexdigest()[: n_bits // 4]
-        return lut[np.frombuffer(h.encode(), dtype=np.uint8)].reshape(n_bits)
 
     def run(batches):
         for pdf in batches:
-            out = []
+            # Batch-vectorized: tokenize every doc, hash each DISTINCT
+            # token of the batch once (the corpus vocabulary repeats
+            # across documents), then per doc one integer matvec
+            # cnt @ (2*bits-1) — int64 sums are exact and order-free, so
+            # the votes are bit-identical to the old per-token loop.
+            # bits: np.unpackbits over digest[:8] is MSB-first per byte —
+            # the same bit order as the old hex-nibble LUT (bit bt =
+            # nibble bt//4 read MSB-first = bit 7-(bt%8) of byte bt//8).
+            vocab: dict[str, int] = {}
+            tok_rows: list[str] = []
+            per_doc: list[tuple] = []
             for text in pdf[text_col]:
                 # ASCII-only trim/\s to match the engine/oracle semantics
                 # (see _py_shingles).
                 t = text.strip(" ") if text is not None else ""
                 toks = re.split(r"[\t\n\f\r ]+", t) if t != "" else [""]
-                votes = np.zeros(n_bits, dtype=np.int64)
-                for tok, cnt in Counter(toks).items():
-                    votes += cnt * (2 * bits_of(tok) - 1)
+                c = Counter(toks)
+                idx = np.empty(len(c), dtype=np.int64)
+                cnt = np.empty(len(c), dtype=np.int64)
+                for j, (tok, n) in enumerate(c.items()):
+                    k = vocab.get(tok)
+                    if k is None:
+                        k = vocab[tok] = len(tok_rows)
+                        tok_rows.append(tok)
+                    idx[j] = k
+                    cnt[j] = n
+                per_doc.append((idx, cnt))
+            digests = np.frombuffer(
+                b"".join(hashlib.md5(tok.encode("utf-8")).digest()[: n_bits // 8]
+                         for tok in tok_rows),
+                dtype=np.uint8).reshape(len(tok_rows), n_bits // 8)
+            signs = 2 * np.unpackbits(digests, axis=1).astype(np.int64) - 1
+            out = []
+            for idx, cnt in per_doc:
+                votes = cnt @ signs[idx]
                 out.append("".join("1" if v > 0 else "0" for v in votes))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash_bits": out})
 
-    return df.select("doc_id", text_col).mapInPandas(run, out_schema)
+    return spread(df.select("doc_id", text_col), by="doc_id").mapInPandas(run, out_schema)
 
 
 def connected_dup_clusters(pairs: DataFrame,

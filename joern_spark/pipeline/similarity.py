@@ -94,10 +94,12 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     map-side (no shuffle of the corpus).  Ties break on neighbor id for
     determinism.
     """
-    c = corpus.select(
+    from joern_spark.sparkutil import spread
+
+    c = spread(corpus.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("embedding").cast("array<double>").alias("c_emb"),
-    )
+    ), by="nbr_id")
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
@@ -209,7 +211,10 @@ def _multi_table_buckets(df: DataFrame, n_tables: int, n_planes: int,
                 "table": tables.astype(np.int32), "bucket": probed,
             })
 
-    return df.select("vec_id", "embedding").mapInPandas(run, out_schema)
+    from joern_spark.sparkutil import spread
+
+    return spread(df.select("vec_id", "embedding"),
+                  by="vec_id").mapInPandas(run, out_schema)
 
 
 _ROW_BLK = 1024    # rows per chunk in the cell-assign kernel
@@ -538,6 +543,85 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "nbr_id", "cosine")
     )
+
+
+def brute_pair_cosines(emb: DataFrame, threshold: float = 0.5,
+                       id_col: str = "vec_id", emb_col: str = "embedding",
+                       n_blocks: int | None = None) -> DataFrame:
+    """All-pairs (vec_a < vec_b) cosine over a (sampled) vector set,
+    thresholded — the exactness baseline behind `sim_near_dup_pairs`.
+
+    Blocked pair generation (guide §8 "move big rows once"): the naive
+    theta-join `a.vec_id < b.vec_id` + per-pair scoring ships BOTH
+    embeddings of EVERY pair through Arrow — O(N²·dim) bytes (each vector
+    serialized N times).  Here every vector is shipped G ≈ √(8·cores)
+    times instead: vectors are hash-assigned to G blocks, each vector is
+    exploded to its G block-pair groups, and one applyInPandas kernel per
+    unordered block pair (p ≤ q) scores the cross product with the SAME
+    left-to-right float64 fold and HALF_UP 6dp rounding as
+    `cos_pandas_udf` — values (and the ≥ threshold survivor set) are
+    bit-identical to the per-pair kernel and the SQL oracle.  Shuffle
+    bytes: N·G·dim, pairs never cross the wire; the kernel emits only the
+    thresholded survivors.  (All-pairs stays O(N²) compute by design —
+    this is the labeled brute-force baseline; the scale twins are
+    `ann_topk_lsh`/`embedding_near_dups`.)"""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    G = n_blocks or max(2, int((8 * spark.sparkContext.defaultParallelism) ** 0.5))
+
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(emb_col).cast("array<double>").alias("e"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(G)).alias("blk"),
+    )
+    ex = (base.select("vid", "e", "blk",
+                      F.explode(F.sequence(F.lit(0), F.lit(G - 1))).alias("q"))
+          .select("vid", "e",
+                  F.least("blk", "q").alias("gp"),
+                  F.greatest("blk", "q").alias("gq"),
+                  (F.col("blk") <= F.col("q")).alias("left_side")))
+
+    out_cols = ["vec_a", "vec_b", "cosine"]
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        within = bool(pdf["gp"].iloc[0] == pdf["gq"].iloc[0])
+        left = pdf[pdf["left_side"]]
+        right = left if within else pdf[~pdf["left_side"]]
+        if not len(left) or not len(right):
+            return pd.DataFrame(columns=out_cols)
+        ids_l = left["vid"].to_numpy(dtype=np.int64)
+        ids_r = right["vid"].to_numpy(dtype=np.int64)
+        A = np.array(left["e"].tolist(), dtype=np.float64)
+        B = A if within else np.array(right["e"].tolist(), dtype=np.float64)
+        # sequential left-to-right fold over the dim axis — elementwise
+        # acc = acc + a_k*b_k, the exact order of cos_pandas_udf's cumsum
+        # and DuckDB's list_dot_product
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        nl = np.zeros(A.shape[0])
+        nr = np.zeros(B.shape[0])
+        for k in range(A.shape[1]):
+            acc += A[:, k, None] * B[None, :, k]
+            nl += A[:, k] * A[:, k]
+            nr += B[:, k] * B[:, k]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = acc / (np.sqrt(nl)[:, None] * np.sqrt(nr)[None, :])
+        c = np.where(np.isfinite(c), c, np.nan)
+        cr = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+        with np.errstate(invalid="ignore"):
+            mask = cr >= threshold                    # NaN compares False
+        if within:
+            mask &= ids_l[:, None] < ids_r[None, :]   # each pair once
+        i, j = np.nonzero(mask)
+        return pd.DataFrame({
+            "vec_a": np.minimum(ids_l[i], ids_r[j]),
+            "vec_b": np.maximum(ids_l[i], ids_r[j]),
+            "cosine": cr[i, j],
+        })
+
+    return ex.groupBy("gp", "gq").applyInPandas(
+        kernel, "vec_a bigint, vec_b bigint, cosine double")
 
 
 def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95, n_planes: int = 6) -> DataFrame:

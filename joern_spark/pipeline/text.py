@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from joern_spark.sparkutil import spread
+
 # Tiny embedded stopword lists for the language-ID heuristic.  The point is
 # the *operator shape* (set-membership scoring over tokens, pure SQL), not
 # linguistic accuracy.
@@ -32,7 +34,7 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish subword estimate
     (ceil(chars/4), the common 4-chars-per-token heuristic)."""
     toks = tokens(F.col(text_col))
-    return df.select(
+    return spread(df, by="doc_id").select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.length(F.col(text_col)).alias("n_chars_text"),
@@ -71,7 +73,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     en = _count_hits(toks, EN_STOPWORDS)
     es = _count_hits(toks, ES_STOPWORDS)
     de = _count_hits(toks, DE_STOPWORDS)
-    return df.select(
+    return spread(df, by="doc_id").select(
         "doc_id",
         en.alias("en_hits"),
         es.alias("es_hits"),
@@ -113,7 +115,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = F.floor(stop_hits / n_tok * 1e6).cast("long")
     # one formula per metric: the composite score column IS quality_micro_col
     score = quality_micro_col(text_col)
-    return df.select(
+    return spread(df, by="doc_id").select(
         "doc_id",
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars_text"),
@@ -127,7 +129,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: exact content hash + an order-insensitive
     bag-of-words fingerprint (md5 over the sorted distinct token set)."""
     toks = tokens(F.col(text_col))
-    return df.select(
+    return spread(df, by="doc_id").select(
         "doc_id",
         F.md5(F.col(text_col)).alias("content_hash"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("bow_fingerprint"),

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     """Tumbling-window counts + value sums per event_type."""
     w = F.window("ts", width)

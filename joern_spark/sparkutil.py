@@ -26,6 +26,45 @@ from contextlib import contextmanager
 BROADCAST_THRESHOLD = 100_000
 
 
+def spread(df, min_partitions: int | None = None, by: str | None = None):
+    """Floor the partition count of a CPU-heavy stage's input at the
+    cluster width (default: `sc.defaultParallelism`).
+
+    Rationale (spark_optimization_guide §2/§6): parquet scan tasks are
+    row-group-granular — a table written as one file with one row group
+    yields ONE non-empty scan partition no matter how
+    `maxPartitionBytes`/`minPartitionNum` split the byte ranges, so every
+    downstream narrow stage (mapInPandas kernels, codegen projections)
+    runs single-task and leaves the other cores idle.  The driver-side
+    partition probe makes this SCALE-ADAPTIVE, not a local[32] constant:
+    at real corpus scale the scan already has ≥ cores partitions and this
+    is a no-op (no shuffle is ever added to an already-parallel input);
+    locally it converts a few-MB exchange into a cores-wide stage.  Only
+    call it on cheap-to-plan frames (scans/selects): the probe builds the
+    physical plan once.
+
+    `by` names a (unique-ish) key column to HASH-repartition on.  Prefer
+    it: a keyless round-robin repartition first pays a LOCAL SORT of its
+    input inside the (single) upstream task (sortBeforeRepartition, on by
+    default since SPARK-23207 so retried tasks reproduce their row→
+    partition assignment) — measured 3x on a 1M-row single-row-group
+    scan; a deterministic hash key needs no such sort and is retry-safe
+    by construction (guide §2.5).
+    """
+    if df.isStreaming:  # micro-batch partitioning is the stream's own affair
+        return df
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # planning-probe failure must never break the query
+        return df
+    if current >= target:
+        return df
+    from pyspark.sql import functions as F
+    return df.repartition(target, F.col(by)) if by else df.repartition(target)
+
+
 @contextmanager
 def adaptive_paused(spark, pause: bool, shuffle_partitions: int | None = None):
     """Temporarily disable AQE when `pause` (restoring the prior value,
