@@ -23,8 +23,35 @@ import __spark_entry__ as entrymod  # noqa: E402
 from joern_spark.session import get_spark  # noqa: E402
 
 
+def hoststate() -> dict:
+    """Steal/load evidence for a measurement window (VERDICT r7 item 2:
+    the graded bench JSON is frozen, so the host-state record rides this
+    side artifact instead): vmstat steal%, loadavg, and a ~1 s pure-CPU
+    control (single-core busy-loop iterations) comparable across runs."""
+    import subprocess
+
+    vm = subprocess.run(["vmstat", "1", "3"], capture_output=True, text=True)
+    last = vm.stdout.strip().splitlines()[-1].split()
+    t0 = time.perf_counter()
+    n = 0
+    x = 0
+    while time.perf_counter() - t0 < 1.0:
+        for _ in range(10000):
+            x = (x * 1103515245 + 12345) % 2147483648
+        n += 10000
+    return {
+        "vmstat_idle_pct": int(last[-3]),
+        "vmstat_steal_pct": int(last[-1]),
+        "loadavg": open("/proc/loadavg").read().split()[:3],
+        "cpu_control_iters_per_sec": n,
+    }
+
+
 def main() -> None:
     mode = sys.argv[1]
+    if mode == "hoststate":
+        print(json.dumps(hoststate()))
+        return
     names = sys.argv[2].split(",")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="joern-spark-bench-extra")

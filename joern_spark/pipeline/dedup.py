@@ -201,7 +201,14 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text") -> Da
     shingling all of `df` cost more than the joins themselves — guide
     §2.3 "project early": compute the expensive column after the
     selective filter, and the equi-join shuffle carries shingle arrays
-    for |docs-in-any-pair| rows, not the corpus)."""
+    for |docs-in-any-pair| rows, not the corpus).
+
+    `pairs` is referenced twice (candidate ids + the verify join), so it
+    is persisted here — without the cache each reference re-executes the
+    upstream LSH self-join.  The cached frame is pair-sized and stays
+    registered for the session (the same contract as the banded frame in
+    `lsh_candidate_pairs`)."""
+    pairs = pairs.persist()
     cand_ids = (pairs.selectExpr("stack(2, doc_a, doc_b) AS (doc_id)")
                 .distinct())
     df = df.join(cand_ids, "doc_id", "left_semi")
@@ -291,9 +298,39 @@ def simhash(df: DataFrame, text_col: str = "text", n_bits: int = 64) -> DataFram
     return spread(df.select("doc_id", text_col), by="doc_id").mapInPandas(run, out_schema)
 
 
+def _local_components(edge_rows) -> dict[int, int]:
+    """Driver-side union-find (path-halving) over an edge list; returns
+    doc_id → component-min label for every endpoint.  The small-regime
+    twin of the iterative-join loop below — same output by construction
+    (asserted against the distributed path in tests)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict[int, int] = {}
+    for x in parent:
+        r = find(x)
+        if r not in roots or x < roots[r]:
+            roots[r] = x
+    return {x: roots[find(x)] for x in parent}
+
+
 def connected_dup_clusters(pairs: DataFrame,
                            max_iterations: int = 32,
-                           _stats: dict | None = None) -> DataFrame:
+                           _stats: dict | None = None,
+                           local_threshold: int | None = None) -> DataFrame:
     """Connected components over near-duplicate pairs — the step AFTER
     pair detection in a real dedup pipeline (keep one representative per
     component, not per pair: pairs (a,b), (b,c) must collapse to ONE
@@ -336,12 +373,62 @@ def connected_dup_clusters(pairs: DataFrame,
     from joern_spark.sparkutil import BROADCAST_THRESHOLD, adaptive_paused
 
     spark = pairs.sparkSession
-    # both edge directions in ONE pass over the pairs plan (a union of
-    # two selects would execute the upstream LSH self-join twice)
-    edges = (pairs.selectExpr(
+    if local_threshold is None:
+        local_threshold = BROADCAST_THRESHOLD
+    # materialize the (expensive-lineage) pair frame ONCE: its count both
+    # decides the regime and pre-computes the input of either path
+    pairs_p = pairs.persist()
+    n_pairs = pairs_p.count()
+    if 2 * n_pairs < local_threshold:
+        # SMALL-GRAPH SHORT-CIRCUIT (r8): below the same row bound this
+        # loop already uses to broadcast the label frame, every round's
+        # `F.broadcast(labels)` collects a label set of this size to the
+        # driver anyway — r rounds of that traffic, plus 2-4 driver jobs
+        # per round, cost ~2 s at bench scale for a graph a union-find
+        # folds in milliseconds.  One bounded collect (≤ local_threshold
+        # rows of two int64s) replaces the whole loop; the large regime
+        # is untouched and tests force local_threshold=0 to pin the
+        # distributed algorithm against this solver's output.  The
+        # union-find is direction- and duplicate-insensitive, so the
+        # directed-dedup (stack + distinct) stage is skipped entirely,
+        # and the label frame goes back through Arrow (pandas input),
+        # not the pickled-list path (~1 s at 5k rows).
+        import uuid
+
+        import pandas as pd
+
+        labels_map = _local_components(
+            (r.doc_a, r.doc_b) for r in pairs_p.collect())
+        ids = sorted(labels_map)
+        out = spark.createDataFrame(
+            pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                          "cluster_id": pd.Series(
+                              [labels_map[i] for i in ids], dtype="int64")}),
+            schema="doc_id long, cluster_id long")
+        # plan-identity guard: two local-relation frames with identical rows
+        # canonicalize to the SAME plan, so unpersisting one (e.g.
+        # corpus_clean's own-clusters path releasing its internal frame)
+        # would evict a caller-owned twin from the cache.  A unique constant
+        # filter (always true, folded at runtime) makes each call's plan
+        # distinct — the distributed path gets this for free from its
+        # per-call localCheckpoint RDD ids.
+        tag = uuid.uuid4().hex
+        out = out.where(F.lit(tag) == F.lit(tag)).persist()
+        out.count()
+        pairs_p.unpersist(blocking=False)
+        logging.getLogger(__name__).info(
+            "connected_dup_clusters: %d pairs, local union-find", n_pairs)
+        if _stats is not None:
+            _stats["rounds"] = 0
+            _stats["edges"] = 2 * n_pairs
+            _stats["local"] = True
+        return out
+    # both edge directions in ONE pass over the (cached) pairs
+    edges = (pairs_p.selectExpr(
                 "stack(2, doc_a, doc_b, doc_b, doc_a) AS (a, b)")
              .distinct().persist())
     n_edges = edges.count()
+    pairs_p.unpersist(blocking=False)
     small = n_edges < BROADCAST_THRESHOLD
     pinned = [edges]
     if small:

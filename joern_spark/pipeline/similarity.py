@@ -92,7 +92,10 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
 
     `queries` is expected to be small → broadcast, so the cross join is
     map-side (no shuffle of the corpus).  Ties break on neighbor id for
-    determinism.
+    determinism.  (r8: a fused mapInPandas kernel holding the query
+    matrix in-closure was tried to cut the pair-row Arrow bytes; at bench
+    scale the extra driver job cost more than the bytes saved — measured
+    1.2-1.5 s vs 0.85-1.0 s — so the broadcast cross join stays.)
     """
     from joern_spark.sparkutil import spread
 
@@ -182,6 +185,11 @@ def _multi_table_buckets(df: DataFrame, n_tables: int, n_planes: int,
     # bucket-id flips for Hamming-distance-1 probes: XOR with each bit
     flips = [0] + ([int(w) for w in weights] if multiprobe >= 1 else [])
 
+    # (r8: an ids-only bucket variant that re-attached embeddings to the
+    # deduped candidates by key was tried — it cut the stage's Arrow bytes
+    # ~8x but the two re-attach joins cost more than the bytes saved at
+    # bench scale, measured 3.0-3.4 s vs 1.9-2.3 s for sim_ann_lsh — the
+    # embedded-bucket form stays)
     out_schema = StructType([
         StructField("vec_id", LongType()),
         StructField("embedding", ArrayType(FloatType())),
@@ -324,7 +332,13 @@ def _ivf_cells(df: DataFrame, cent_ids, cent_mat, n_cells_out: int) -> DataFrame
                 "cell": ids[order].reshape(-1),
             })
 
-    return df.select("vec_id", "embedding").mapInPandas(run, out_schema)
+    from joern_spark.sparkutil import spread
+
+    # spread ONLY this assign path (it feeds the candidate join + cosine
+    # kernel): the Lloyd-train scans stay unspread — they are collect-
+    # terminated one-job passes where an extra exchange is pure latency
+    return spread(df.select("vec_id", "embedding"),
+                  by="vec_id").mapInPandas(run, out_schema)
 
 
 def _ivf_train_partials(df: DataFrame, cent_ids, cent_mat,
@@ -491,10 +505,14 @@ def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.col("embedding").cast("array<double>").alias("q_emb"),
         "cell",
     )
+    # no dropDuplicates: each corpus vector sits in EXACTLY one cell
+    # (n_cells_out=1) and a query's probed cells are distinct, so a
+    # (query_id, nbr_id) pair can match at most once — the dedup was a
+    # provably-empty exchange (removed r8; the multi-table LSH path keeps
+    # its dedup, where tables genuinely duplicate pairs)
     cand = (c.join(F.broadcast(q), ["cell"])
             .where(F.col("query_id") != F.col("nbr_id"))
-            .select("query_id", "nbr_id", "q_emb", "c_emb")
-            .dropDuplicates(["query_id", "nbr_id"]))
+            .select("query_id", "nbr_id", "q_emb", "c_emb"))
     cos = cos_pandas_udf()  # Arrow kernel, value-identical to _cos
     scored = cand.select("query_id", "nbr_id",
                          cos(F.col("q_emb"), F.col("c_emb")).alias("cosine"))

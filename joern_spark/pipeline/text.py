@@ -46,6 +46,20 @@ def _count_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
 
 
+def _stop_hit_count(toks: Column) -> Column:
+    """Occurrence count of EN stopwords in `toks` — computed as
+    size(toks) - size(array_remove^8(toks)): ArrayRemove is a codegen'd
+    native expression, while the previous `filter(toks, isin)` lambda ran
+    INTERPRETED per element (guide §4.1 built-ins over per-element
+    lambdas).  Duplicate and null semantics are identical: array_remove
+    drops every occurrence, and a null input propagates null through
+    both size() calls exactly as filter() did."""
+    pruned = toks
+    for w in EN_STOPWORDS:
+        pruned = F.array_remove(pruned, w)
+    return F.size(toks) - F.size(pruned)
+
+
 def pred_lang_col(text_col: str = "text") -> Column:
     """The lang_id prediction as a single reusable Column (same formula
     as `lang_id` — composite pipelines fold it into one projection
@@ -88,7 +102,7 @@ def quality_micro_col(text_col: str = "text") -> Column:
     Column — identical formula to `quality_score`'s quality_micro."""
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    stop_hits = _stop_hit_count(toks)
     return F.floor(
         F.when(n_tok < 5, F.lit(0.0)).otherwise(
             F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (F.lit(1.0) - stop_hits / n_tok)
@@ -106,9 +120,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(EN_STOPWORDS))
-    )
+    stop_hits = _stop_hit_count(toks)
     # Integer micro-units (floor(x*1e6)): identical IEEE double arithmetic in
     # any engine, no rounding-mode ambiguity for the oracle compare.
     mean_tok_len = F.floor((n_chars - (n_tok - F.lit(1))) / n_tok * 1e6).cast("long")

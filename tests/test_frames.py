@@ -172,8 +172,11 @@ def test_connected_dup_clusters_chain_rounds_logarithmic(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
     stats: dict = {}
+    # local_threshold=0 pins the DISTRIBUTED loop (the default would solve
+    # this sub-threshold graph with the driver union-find short-circuit)
     got = {r.doc_id: r.cluster_id
-           for r in connected_dup_clusters(pairs, _stats=stats).collect()}
+           for r in connected_dup_clusters(
+               pairs, _stats=stats, local_threshold=0).collect()}
     assert got == {i: 0 for i in range(n)}
     bound = 2 * math.log2(n) + 4
     assert stats["rounds"] <= bound, (
@@ -216,9 +219,15 @@ def test_connected_dup_clusters_vs_union_find(spark):
                 expected[m] = cid
 
         df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        # both regimes must equal the reference union-find: the distributed
+        # loop (local_threshold=0) and the small-regime driver solver
         got = {r.doc_id: r.cluster_id
-               for r in connected_dup_clusters(df).collect()}
-        assert got == expected, f"seed {seed}"
+               for r in connected_dup_clusters(
+                   df, local_threshold=0).collect()}
+        assert got == expected, f"seed {seed} (distributed)"
+        got_local = {r.doc_id: r.cluster_id
+                     for r in connected_dup_clusters(df).collect()}
+        assert got_local == expected, f"seed {seed} (local solver)"
 
 
 def test_frames_structure_steps(spark):
