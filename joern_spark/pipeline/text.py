@@ -47,17 +47,19 @@ def _count_hits(toks: Column, words: list[str]) -> Column:
 
 
 def _stop_hit_count(toks: Column) -> Column:
-    """Occurrence count of EN stopwords in `toks` — computed as
-    size(toks) - size(array_remove^8(toks)): ArrayRemove is a codegen'd
-    native expression, while the previous `filter(toks, isin)` lambda ran
-    INTERPRETED per element (guide §4.1 built-ins over per-element
-    lambdas).  Duplicate and null semantics are identical: array_remove
-    drops every occurrence, and a null input propagates null through
-    both size() calls exactly as filter() did."""
-    pruned = toks
-    for w in EN_STOPWORDS:
-        pruned = F.array_remove(pruned, w)
-    return F.size(toks) - F.size(pruned)
+    """Occurrence count of EN stopwords in `toks`.
+
+    Deliberately the interpreted `filter(toks, isin)` lambda, NOT a chain
+    of codegen'd array_remove calls (r8 experiment): the 8-deep
+    array_remove tree executed 7x faster (0.47 s vs 3.5 s per-row cost at
+    sf1) but its generated class is large enough that the 38-query bench
+    suite evicts it from the codegen cache
+    (spark.sql.codegen.cache.maxEntries=100) every sweep, re-paying a
+    ~3 s Janino compile per execution — measured 3.5 s/sweep steady vs
+    0.6 s for the compile-free interpreted form.  In a dedicated pipeline
+    (few distinct plans, warm codegen cache) array_remove wins; in a
+    many-query session the lambda does."""
+    return F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
 
 
 def pred_lang_col(text_col: str = "text") -> Column:

@@ -61,6 +61,16 @@ def get_spark(
         # Broadcast threshold: our dimension tables (semantics, query bundle,
         # nation/region-style dims) are tiny; raise a little over default.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge when the per-partition build
+        # side fits (guide §3.1/§9): skips both sort passes of the big
+        # equi-joins (q3-shape lineitem⋈orders measured 2.9→2.2 s at sf1);
+        # AQE may also rewrite SMJ→SHJ at runtime below the local-map
+        # threshold.  Values re-verified against the DuckDB oracle at
+        # sf0.001/0.01/0.1/1.0 after the change (row order entering the
+        # float partial aggregates shifts with join strategy).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64MB"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
