@@ -296,7 +296,12 @@ def corpus_clean_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     clusters = dedup.connected_dup_clusters(
         dedup.lsh_candidate_pairs(dedup.minhash_signature(docs)))
-    return _clean(docs, clusters=clusters)
+    out = _clean(docs, clusters=clusters)
+    # the survivor frame is persisted+materialized inside corpus_clean, so
+    # the caller-owned clusters cache can be released here (r7 ADVICE: it
+    # otherwise lives for the rest of the session)
+    clusters.unpersist(blocking=False)
+    return out
 
 
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -93,11 +93,19 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
     visited_n = init_n
     hops_done = 0
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    sp_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
     try:
         while hops_done < max_iterations:
             small = frontier_n < broadcast_threshold
             spark.conf.set("spark.sql.adaptive.enabled",
                            "false" if small else aqe_before)
+            # with AQE paused nothing coalesces post-shuffle: the round's
+            # one shuffle (the distinct) would otherwise schedule the full
+            # default partition count in near-empty tasks per round — the
+            # same small-regime narrowing the CC loop applies (sparkutil
+            # adaptive_paused(shuffle_partitions=8))
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           "8" if small else sp_before)
             k = min(4 if small else 2, max_iterations - hops_done)
             # k hops per round; only the PERSISTED round frontier gets a
             # broadcast hint — hinting (or persisting) the intra-round hop
@@ -134,6 +142,7 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
         # last (small) frontier, so it must get AQE's runtime coalescing
         # and skew handling even when the loop ended in the small regime.
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_before)
         src = sources.select(F.col("url").alias("s_url"), F.col("node_id").alias("source_id"))
         result = (visited.join(src, on=[visited.url == src.s_url, visited.cur == src.source_id])
                   .select("url", "source_id", "sink_id").distinct().persist())
@@ -144,6 +153,7 @@ def reachable_pairs(edges: DataFrame, sources: DataFrame, sinks: DataFrame,
         result.count()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_before)
         # release caches on the error path too, not just on success
         for df in pinned:
             df.unpersist(blocking=False)

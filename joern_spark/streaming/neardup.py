@@ -139,8 +139,15 @@ def page_band_rows(pages: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _horizon_micros() -> int:
     n, unit = HORIZON.split()
-    return int(n) * {"hours": 3600, "hour": 3600,
-                     "minutes": 60, "minute": 60}[unit] * 1_000_000
+    scale = {"days": 86400, "day": 86400,
+             "hours": 3600, "hour": 3600,
+             "minutes": 60, "minute": 60,
+             "seconds": 1, "second": 1}.get(unit)
+    if scale is None:
+        raise ValueError(
+            f"unsupported HORIZON unit {unit!r} (use seconds/minutes/"
+            f"hours/days)")
+    return int(n) * scale * 1_000_000
 
 
 def band_owner_verdicts(band_rows: DataFrame) -> DataFrame:
