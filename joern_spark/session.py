@@ -71,9 +71,21 @@ def get_spark(
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
                 os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64MB"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver = the only JVM: it holds broadcast builds,
+        # every cache AND all execution memory.  8g was fine to sf1 but a
+        # 100x-sf0.1 probe (docs/SCALE10_r8.json) OOMed a broadcast build
+        # mid-suite under accumulated caches; 16g of the sandbox's 128 GiB
+        # gives the escalated-SF headroom (still env-overridable).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
+        # -Xlog:disable: JVM unified-logging warnings (e.g. GCLocker retry
+        # notices under large broadcast allocation) print to STDOUT by
+        # default and would corrupt the bench driver's one-JSON-line
+        # stdout contract at large scale factors (observed at the 100x
+        # probe, docs/SCALE10_r8.json); Spark/log4j logging (stderr) is
+        # unaffected.
+        .config("spark.driver.extraJavaOptions",
+                "-Dio.netty.tryReflectionSetAccessible=true -Xlog:disable")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
