@@ -26,6 +26,9 @@ from contextlib import contextmanager
 BROADCAST_THRESHOLD = 100_000
 
 
+_SPREAD_PROBE_MEMO: dict = {}
+
+
 def spread(df, min_partitions: int | None = None, by: str | None = None):
     """Floor the partition count of a CPU-heavy stage's input at the
     cluster width (default: `sc.defaultParallelism`).
@@ -56,7 +59,20 @@ def spread(df, min_partitions: int | None = None, by: str | None = None):
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     try:
-        current = df.rdd.getNumPartitions()
+        # memoize the probe per (session, analyzed-plan semantic hash):
+        # df.rdd builds the full physical plan (~130 ms measured), and a
+        # bench session re-plans the SAME scans dozens of times.  This
+        # caches planning METADATA (a partition count), never data or
+        # results; if the underlying files change under an identical plan
+        # in a long-lived session, the worst case is a stale spread
+        # decision (an unneeded or skipped repartition) — correctness is
+        # unaffected either way.
+        key = (id(spark._jsparkSession),
+               df._jdf.queryExecution().analyzed().semanticHash())
+        current = _SPREAD_PROBE_MEMO.get(key)
+        if current is None:
+            current = df.rdd.getNumPartitions()
+            _SPREAD_PROBE_MEMO[key] = current
     except Exception:  # planning-probe failure must never break the query
         return df
     if current >= target:
